@@ -1,0 +1,239 @@
+"""Datasets and the tensorizer: tokenized melodies -> static-shape batches.
+
+Reference: VarAutoEncoder/data.py:42-223 (Dataset, ToyData, MelodyDataset,
+load_dataset). TPU-first divergences from the reference, all documented:
+
+- **Static shapes.** Batches are always ``(batch_size, max_seq_len + 1)``.
+  The reference trims each batch to its longest sequence (data.py:196-198);
+  under jit that would force a recompile per length, so we pad-and-mask
+  instead. ``seq_lens`` carries the true lengths.
+- **Per-row EOS.** The reference's ``labels[:, seq_lens] = EOS`` writes EOS
+  at *every* row's set of seq_len columns (broken fancy indexing,
+  SURVEY.md §8.2). We write one EOS per row at its own length — the evident
+  intent.
+- **No degenerate chunks.** The reference appends an all-PAD chunk when a
+  melody's length is an exact multiple of max_seq_len and duplicates the
+  last melody's tail chunk once per class (data.py:133-160). We emit each
+  non-empty chunk exactly once.
+- **Wrap-padded final batch.** Like ``mx.io.NDArrayIter``'s default
+  ``last_batch_handle='pad'``, the last partial batch is filled by wrapping
+  to the start, so every batch has the full static batch size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..midi.codec import Melody
+from ..midi.vocab import EOS_ID, NUM_EVENTS, PAD_ID, SOS_ID
+
+
+@dataclasses.dataclass(frozen=True)
+class Batch:
+    """One training batch (host numpy; device transfer is the trainer's job).
+
+    tokens:   (B, L+1) int32 — SOS-prefixed, PAD-padded input ids
+    seq_lens: (B,)    int32 — # non-PAD input tokens (includes the SOS)
+    classes:  (B,)    int32 — style class ids
+    labels:   (B, L+1) int32 — target ids with per-row EOS, PAD elsewhere
+    """
+
+    tokens: np.ndarray
+    seq_lens: np.ndarray
+    classes: np.ndarray
+    labels: np.ndarray
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.tokens.shape[0])
+
+
+class Dataset:
+    """Reference: data.py:42-54."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+
+    def num_classes(self) -> int:
+        raise NotImplementedError
+
+    def num_tokens(self) -> int:
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+
+class ToyData(Dataset):
+    """Hardcoded 3-sequence smoke dataset (reference: data.py:57-81)."""
+
+    def __init__(self, batch_size: int = 3):
+        super().__init__(batch_size)
+        self._tokens = np.array(
+            [[1, 5, 6, 7, 0], [1, 6, 7, 8, 0], [1, 7, 8, 9, 0]], dtype=np.int32
+        )
+        self._seq_lens = np.array([4, 4, 4], dtype=np.int32)
+        self._classes = np.array([0, 1, 2], dtype=np.int32)
+        self._labels = np.array(
+            [[5, 6, 7, 2, 0], [6, 7, 8, 2, 0], [7, 8, 9, 2, 0]], dtype=np.int32
+        )
+
+    def num_classes(self) -> int:
+        return 3
+
+    def num_tokens(self) -> int:
+        return 10
+
+    def __iter__(self) -> Iterator[Batch]:
+        yield Batch(self._tokens, self._seq_lens, self._classes, self._labels)
+
+
+def tensorize_melodies(
+    melodies: Dict[str, List[Melody]], max_seq_len: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Chunk + pad + SOS/EOS layout (reference: data.py:133-173, fixed §8.2).
+
+    Returns (tokens (N, L+1), seq_lens (N,), classes (N,), labels (N, L+1)).
+    Classes are indexed in sorted-name order (reference: data.py:100).
+    """
+    L = max_seq_len
+    chunks: List[np.ndarray] = []
+    classes: List[int] = []
+    for class_idx, class_melodies in enumerate(
+        v for _, v in sorted(melodies.items(), key=lambda kv: kv[0])
+    ):
+        for melody in class_melodies:
+            toks = np.asarray(melody.tokens, dtype=np.int32)
+            for start in range(0, max(len(toks), 1), L):
+                chunk = toks[start : start + L]
+                if len(chunk) == 0:
+                    continue
+                chunks.append(chunk)
+                classes.append(class_idx)
+
+    n = len(chunks)
+    assert n > 0, "Empty sequences were found"
+
+    tokens = np.full((n, L + 1), PAD_ID, dtype=np.int32)
+    labels = np.full((n, L + 1), PAD_ID, dtype=np.int32)
+    seq_lens = np.zeros((n,), dtype=np.int32)
+    tokens[:, 0] = SOS_ID
+    for i, chunk in enumerate(chunks):
+        m = len(chunk)
+        tokens[i, 1 : m + 1] = chunk
+        labels[i, :m] = chunk
+        labels[i, m] = EOS_ID  # per-row EOS (intent of reference data.py:168)
+        seq_lens[i] = m + 1  # counts the SOS, matching reference seq-len math
+    return tokens, seq_lens, np.asarray(classes, dtype=np.int32), labels
+
+
+class MelodyDataset(Dataset):
+    """Tensorized, shuffling, statically-shaped batch source.
+
+    Reference: data.py:84-198 (MelodyDataset).
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        maximum_sequence_length: int,
+        melodies: Dict[str, List[Melody]],
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        super().__init__(batch_size)
+        self.max_seq_len = maximum_sequence_length
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+        self.n_classes = len(melodies)
+        self.n_melodies = sum(len(m) for m in melodies.values())
+        self.seen_max_sequence_length = max(
+            (len(m) for ms in melodies.values() for m in ms), default=0
+        )
+        self.class_names = sorted(melodies.keys())
+        (self.tokens, self.seq_lens, self.classes, self.labels) = tensorize_melodies(
+            melodies, maximum_sequence_length
+        )
+        self._log_dataset(melodies)
+
+    def _log_dataset(self, melodies) -> None:
+        print("")
+        print("Dataset information: ")
+        print(f"Number of classes: {self.num_classes()}")
+        print(f"Number of tokens: {self.num_tokens()}")
+        print(f"Tokens dataset shape {self.tokens.shape}")
+        print(f"Classes dataset shape {self.classes.shape}")
+        for c, m in sorted(melodies.items()):
+            print(f"Class {c} has {len(m)} melodies")
+        print("")
+
+    def num_classes(self) -> int:
+        return self.n_classes
+
+    def num_tokens(self) -> int:
+        return NUM_EVENTS
+
+    def num_samples(self) -> int:
+        return int(self.tokens.shape[0])
+
+    def num_batches(self) -> int:
+        return -(-self.num_samples() // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = self.num_samples()
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            if len(idx) < bs:
+                # wrap-pad to the static batch size (NDArrayIter 'pad')
+                idx = np.concatenate([idx, order[: bs - len(idx)]])
+            yield Batch(
+                tokens=self.tokens[idx],
+                seq_lens=self.seq_lens[idx],
+                classes=self.classes[idx],
+                labels=self.labels[idx],
+            )
+
+
+def load_dataset(
+    loader_train,
+    batch_size: int,
+    split_percentage: Optional[float] = None,
+    loader_val=None,
+) -> Tuple[MelodyDataset, Optional[MelodyDataset]]:
+    """Train/validation split logic (reference: data.py:201-223)."""
+    if loader_val is not None:
+        train = MelodyDataset(
+            batch_size, loader_train.max_sequence_length, loader_train.melodies
+        )
+        val = MelodyDataset(
+            batch_size, loader_val.max_sequence_length, loader_val.melodies
+        )
+        return train, val
+
+    if split_percentage is None or split_percentage <= 0.0:
+        return (
+            MelodyDataset(
+                batch_size, loader_train.max_sequence_length, loader_train.melodies
+            ),
+            None,
+        )
+
+    assert 0.0 < split_percentage < 1.0
+
+    train_split: Dict[str, List[Melody]] = {}
+    valid_split: Dict[str, List[Melody]] = {}
+    for c, m in loader_train.melodies.items():
+        n_validation = int(split_percentage * len(m))
+        valid_split[c] = m[:n_validation]
+        train_split[c] = m[n_validation:]
+    return (
+        MelodyDataset(batch_size, loader_train.max_sequence_length, train_split),
+        MelodyDataset(batch_size, loader_train.max_sequence_length, valid_split),
+    )

@@ -1,0 +1,39 @@
+"""Corpus loader: class-per-subdirectory MIDI corpus -> tokenized melodies.
+
+Reference: VarAutoEncoder/data.py:14-39 (Loader). Immediate subdirectories of
+``path`` (sorted by name) are the style classes; each class keeps only the
+first track of every ``*.mid`` file (reference: data.py:35).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List
+
+from ..midi.codec import EventBasedMIDIReader, Melody
+
+
+class Loader:
+    def __init__(self, path: str, max_sequence_length: int,
+                 slices_per_quarter_note: float = 4):
+        self.path = path
+        self.max_sequence_length = max_sequence_length
+        # Vestigial in the reference's event reader too (midi_io.py:31-33);
+        # kept for CLI surface parity.
+        self.slices_per_quarter_note = slices_per_quarter_note
+        self.midi_reader = EventBasedMIDIReader()
+        self.melodies = self.read_melodies()
+
+    def read_melodies(self) -> Dict[str, List[Melody]]:
+        print(f"Reading from {self.path}")
+        melodies: Dict[str, List[Melody]] = {}
+        directories = next(os.walk(self.path))[1]
+        for directory in sorted(directories):
+            melodies[directory] = []
+            files = glob.glob(os.path.join(self.path, directory, "*.mid"))
+            for fname in files:
+                melody = self.midi_reader.read_file(fname)[0]
+                melodies[directory].append(melody)
+            print(f"Read {len(files)} files from {directory}")
+        return melodies

@@ -1,0 +1,140 @@
+"""Config base + model configs with YAML round-trip persistence.
+
+Reference: VarAutoEncoder/config.py:81-222 (Config with freeze + YAML tags +
+backward-compatible default fill-in) and the model config classes at
+model.py:11-54 / transformer.py:8-21.
+
+Design: plain dataclasses registered with tagged YAML representers
+(``!ModelConfig`` etc., same sidecar format family as the reference).
+Loading fills missing fields from dataclass defaults so old config files
+keep working (reference: config.py:105-115).
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from typing import Any, Dict, Optional, Type, TypeVar
+
+import yaml
+
+_T = TypeVar("_T", bound="Config")
+_REGISTRY: Dict[str, Type["Config"]] = {}
+
+
+class _ConfigLoader(yaml.SafeLoader):
+    pass
+
+
+class _ConfigDumper(yaml.SafeDumper):
+    pass
+
+
+def register_config(cls: Type[_T]) -> Type[_T]:
+    """Class decorator: register ``!ClassName`` YAML tag for a Config dataclass."""
+    tag = "!" + cls.__name__
+    _REGISTRY[tag] = cls
+
+    def _represent(dumper: yaml.Dumper, obj: Any) -> yaml.Node:
+        state = {f.name: getattr(obj, f.name) for f in dataclasses.fields(obj)}
+        return dumper.represent_mapping(tag, state)
+
+    def _construct(loader: yaml.Loader, node: yaml.Node) -> Any:
+        state = loader.construct_mapping(node, deep=True)
+        known = {f.name for f in dataclasses.fields(cls)}
+        # Backward-compatible default fill-in: ignore unknown keys, let
+        # dataclass defaults cover missing ones (reference: config.py:105-115).
+        return cls(**{k: v for k, v in state.items() if k in known})
+
+    _ConfigDumper.add_representer(cls, _represent)
+    _ConfigLoader.add_constructor(tag, _construct)
+    return cls
+
+
+@dataclasses.dataclass
+class Config:
+    """Base for YAML-persistable configs (reference: config.py:90-222)."""
+
+    def copy(self: _T, **overrides: Any) -> _T:
+        new = copy.deepcopy(self)
+        for k, v in overrides.items():
+            object.__setattr__(new, k, v)
+        return new
+
+    def save(self, fname: str) -> None:
+        with open(fname, "w") as out:
+            yaml.dump(self, out, Dumper=_ConfigDumper, default_flow_style=False)
+
+    @staticmethod
+    def load(fname: str) -> "Config":
+        with open(fname) as inp:
+            return yaml.load(inp, Loader=_ConfigLoader)
+
+    def to_yaml(self) -> str:
+        return yaml.dump(self, Dumper=_ConfigDumper, default_flow_style=False)
+
+
+@register_config
+@dataclasses.dataclass
+class TransformerConfig(Config):
+    """Reference: transformer.py:8-21."""
+
+    model_size: int = 128
+    dropout: float = 0.0
+    num_layers: int = 1
+    num_heads: int = 8
+    vocab_size: Optional[int] = None
+    # TPU-native additions (defaults preserve reference behavior):
+    ffn_multiplier: int = 4
+    max_positions: int = 10000  # positional table size (transformer.py:217)
+    use_flash_attention: bool = False  # Pallas fused attention on TPU
+
+
+@register_config
+@dataclasses.dataclass
+class LSTMConfig(Config):
+    """Legacy LSTM decoder config (reference: model.py:11-19)."""
+
+    n_layers: int = 1
+    hidden_dim: int = 128
+    dropout: float = 0.0
+
+
+@register_config
+@dataclasses.dataclass
+class EncoderConfig(Config):
+    """Reference: model.py:35-45."""
+
+    transformer_config: TransformerConfig = dataclasses.field(
+        default_factory=TransformerConfig
+    )
+    latent_dim: int = 64
+    num_classes: int = 2
+    input_dim: int = 293
+
+
+@register_config
+@dataclasses.dataclass
+class DecoderConfig(Config):
+    """Reference: model.py:22-32; ``decoder_type`` selects the legacy LSTM
+    variant (model.py:131-203) instead of the transformer decoder."""
+
+    transformer_config: TransformerConfig = dataclasses.field(
+        default_factory=TransformerConfig
+    )
+    latent_dim: int = 64
+    num_classes: int = 2
+    output_dim: int = 293
+    decoder_type: str = "transformer"  # "transformer" | "lstm"
+    lstm_config: Optional[LSTMConfig] = None
+
+
+@register_config
+@dataclasses.dataclass
+class ModelConfig(Config):
+    """Reference: model.py:48-54."""
+
+    encoder_config: EncoderConfig = dataclasses.field(default_factory=EncoderConfig)
+    decoder_config: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    # Compute dtype for activations on TPU; params stay float32.
+    dtype: str = "bfloat16"

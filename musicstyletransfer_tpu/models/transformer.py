@@ -1,0 +1,230 @@
+"""Transformer encoder/decoder stacks (flax.linen), TPU-first.
+
+Reference: VarAutoEncoder/transformer.py:24-273. Behavioral divergences,
+chosen per SURVEY.md §7 (implement the evident intent, document the delta):
+
+- attention softmax is over the *key* axis with a real additive padding mask
+  (the reference normalizes over queries, making its pad mask a no-op —
+  SURVEY.md §8.4);
+- the decoder applies a causal mask in training (the reference trains
+  non-causally while sampling autoregressively — SURVEY.md §8.5);
+- the decoder-layer FFN residual is ``x + dropout(ff(x))`` (the reference
+  drops the residual input at transformer.py:200);
+- no debug prints in the hot path (reference transformer.py:95,97).
+
+Kept from the reference: post-LN residual blocks, 4x ReLU feed-forward
+("DualFeedForward", transformer.py:24-46), sqrt(d) input scaling + additive
+sinusoidal positional table built with the reference's exponent formula
+(transformer.py:204-211), per-layer KV caching for incremental decoding
+(transformer.py:242-249) — here as explicit static-shape cache arrays
+updated via ``lax.dynamic_update_slice`` so the whole decode loop stays
+on-device inside one jitted ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .config import TransformerConfig
+
+# Per-layer KV cache: (k, v) each [batch, max_len, num_heads, head_dim].
+LayerCache = Tuple[jax.Array, jax.Array]
+Cache = Tuple[LayerCache, ...]
+
+_NEG_INF = -1e9
+
+
+def positional_encodings(model_size: int, max_len: int) -> np.ndarray:
+    """Sinusoidal table with the reference's exponent layout
+    (reference: transformer.py:204-211)."""
+    pos = np.arange(max_len).reshape(-1, 1) / np.power(
+        10000, (2.0 / model_size) * np.arange(model_size).reshape(1, -1)
+    )
+    pos[:, 0::2] = np.sin(pos[:, 0::2])
+    pos[:, 1::2] = np.cos(pos[:, 1::2])
+    return pos.astype(np.float32)
+
+
+class FeedForward(nn.Module):
+    """4x-expansion ReLU FFN (reference DualFeedForward, transformer.py:24-46)."""
+
+    model_size: int
+    hidden_size: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.ff1 = nn.Dense(self.hidden_size, dtype=self.dtype, name="ff1")
+        self.ff2 = nn.Dense(self.model_size, dtype=self.dtype, name="ff2")
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        x = nn.relu(self.ff1(x))
+        x = self.drop(x, deterministic=not train)
+        return self.ff2(x)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Standard scaled-dot self-attention with batched train path and a
+    single-position cached step path (reference: transformer.py:49-126)."""
+
+    model_size: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        assert self.model_size % self.num_heads == 0
+        self.head_dim = self.model_size // self.num_heads
+        self.w_q = nn.Dense(self.model_size, dtype=self.dtype, name="w_q")
+        self.w_k = nn.Dense(self.model_size, dtype=self.dtype, name="w_k")
+        self.w_v = nn.Dense(self.model_size, dtype=self.dtype, name="w_v")
+        self.w_o = nn.Dense(self.model_size, dtype=self.dtype, name="w_o")
+
+    def _heads(self, x: jax.Array) -> jax.Array:
+        return x.reshape(*x.shape[:-1], self.num_heads, self.head_dim)
+
+    def __call__(self, x: jax.Array, bias: jax.Array) -> jax.Array:
+        """x: [B, T, D]; bias: additive mask broadcastable to [B, H, T, T]."""
+        q = self._heads(self.w_q(x))
+        k = self._heads(self.w_k(x))
+        v = self._heads(self.w_v(x))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(self.head_dim, dtype=q.dtype)
+        )
+        probs = jax.nn.softmax(logits + bias, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return self.w_o(out.reshape(*x.shape[:-1], self.model_size))
+
+    def step(
+        self, x_t: jax.Array, cache_k: jax.Array, cache_v: jax.Array, t: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One cached decode step.
+
+        x_t: [B, D] input at position ``t``; cache_{k,v}: [B, T_max, H, hd].
+        Returns (out [B, D], new_cache_k, new_cache_v).
+        """
+        B = x_t.shape[0]
+        k_t = self._heads(self.w_k(x_t))[:, None]  # [B, 1, H, hd]
+        v_t = self._heads(self.w_v(x_t))[:, None]
+        q_t = self._heads(self.w_q(x_t))  # [B, H, hd]
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_t.astype(cache_k.dtype), (0, t, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_t.astype(cache_v.dtype), (0, t, 0, 0)
+        )
+        logits = jnp.einsum("bhd,bkhd->bhk", q_t, cache_k) / jnp.sqrt(
+            jnp.asarray(self.head_dim, dtype=q_t.dtype)
+        )
+        # Mask positions beyond t (cache slots not yet written).
+        valid = jnp.arange(cache_k.shape[1]) <= t
+        logits = jnp.where(valid[None, None, :], logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhk,bkhd->bhd", probs, cache_v)
+        return self.w_o(out.reshape(B, self.model_size)), cache_k, cache_v
+
+
+class TransformerLayer(nn.Module):
+    """Post-LN residual block: self-attention + FFN
+    (reference encoder layer transformer.py:129-159; decoder layer
+    transformer.py:162-200 with its residual bug fixed)."""
+
+    config: TransformerConfig
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        c = self.config
+        self.attention = MultiHeadSelfAttention(
+            model_size=c.model_size, num_heads=c.num_heads, dtype=self.dtype
+        )
+        self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
+        self.ff = FeedForward(
+            model_size=c.model_size,
+            hidden_size=c.model_size * c.ffn_multiplier,
+            dropout=c.dropout,
+            dtype=self.dtype,
+        )
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        self.drop = nn.Dropout(c.dropout)
+
+    def __call__(self, x: jax.Array, bias: jax.Array, train: bool) -> jax.Array:
+        att = self.attention(x, bias)
+        x = self.ln1(x + self.drop(att, deterministic=not train))
+        ff = self.ff(x, train)
+        x = self.ln2(x + self.drop(ff, deterministic=not train))
+        return x
+
+    def step(
+        self, x_t: jax.Array, cache: LayerCache, t: jax.Array
+    ) -> Tuple[jax.Array, LayerCache]:
+        att, ck, cv = self.attention.step(x_t, cache[0], cache[1], t)
+        x_t = self.ln1(x_t + att)
+        x_t = self.ln2(x_t + self.ff(x_t, train=False))
+        return x_t, (ck, cv)
+
+
+class TransformerStack(nn.Module):
+    """Shared encoder/decoder stack: sqrt(d)*x + positional table, N layers
+    (reference: transformer.py:214-273)."""
+
+    config: TransformerConfig
+    causal: bool
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        c = self.config
+        self.layers = [
+            TransformerLayer(config=c, dtype=self.dtype, name=f"layer{i}")
+            for i in range(c.num_layers)
+        ]
+        self.pos_table = jnp.asarray(
+            positional_encodings(c.model_size, c.max_positions), dtype=self.dtype
+        )
+
+    def _input(self, x: jax.Array) -> jax.Array:
+        T = x.shape[1]
+        scale = jnp.sqrt(jnp.asarray(self.config.model_size, dtype=x.dtype))
+        return scale * x + self.pos_table[:T]
+
+    def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool) -> jax.Array:
+        """x: [B, T, D]; key_mask: [B, T] 1 for valid positions."""
+        bias = jnp.where(key_mask[:, None, None, :].astype(bool), 0.0, _NEG_INF)
+        if self.causal:
+            T = x.shape[1]
+            causal = jnp.tril(jnp.ones((T, T), dtype=bool))
+            bias = bias + jnp.where(causal[None, None], 0.0, _NEG_INF)
+        bias = bias.astype(x.dtype)
+        x = self._input(x)
+        for layer in self.layers:
+            x = layer(x, bias, train)
+        return x
+
+    def step(
+        self, x_t: jax.Array, cache: Cache, t: jax.Array
+    ) -> Tuple[jax.Array, Cache]:
+        """One incremental decode position. x_t: [B, D] (pre-scaling)."""
+        scale = jnp.sqrt(jnp.asarray(self.config.model_size, dtype=x_t.dtype))
+        x_t = scale * x_t + jax.lax.dynamic_slice_in_dim(
+            self.pos_table, t, 1, axis=0
+        )[0].astype(x_t.dtype)
+        new_cache = []
+        for layer, layer_cache in zip(self.layers, cache):
+            x_t, layer_cache = layer.step(x_t, layer_cache, t)
+            new_cache.append(layer_cache)
+        return x_t, tuple(new_cache)
+
+    def init_cache(
+        self, batch_size: int, max_len: int, dtype: Optional[Any] = None
+    ) -> Cache:
+        c = self.config
+        shape = (batch_size, max_len, c.num_heads, c.model_size // c.num_heads)
+        dt = dtype or self.dtype
+        return tuple(
+            (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+            for _ in range(c.num_layers)
+        )

@@ -1,0 +1,21 @@
+from .mesh import (
+    AXIS_DATA,
+    AXIS_MODEL,
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "AXIS_DATA",
+    "AXIS_MODEL",
+    "batch_sharding",
+    "make_mesh",
+    "param_shardings",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+]

@@ -1,0 +1,76 @@
+"""Optimizer construction from the reference's CLI-style config.
+
+Reference: trainer.py:14-35 (OptimizerConfig with "key1:value1,key2:value2"
+param strings, used as ``clip_gradient:1.0`` in scripts/train-vae.sh:19) and
+trainer.py:94-101 (gluon.Trainer construction).
+
+MXNet's ``clip_gradient`` clips each gradient element to [-c, c]; optax's
+``optax.clip`` matches that semantic. ``clip_global_norm`` is offered as a
+TPU-era extra.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import optax
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    optimizer: str = "adam"
+    optimizer_params: str = ""
+    learning_rate: float = 3e-4
+
+    def params_to_dict(self) -> Dict[str, float]:
+        """Parse "k1:v1,k2:v2"; pairs with != 1 delimiter are ignored
+        (reference: trainer.py:23-35)."""
+        out: Dict[str, float] = {}
+        for key_val in self.optimizer_params.strip().split(","):
+            parts = key_val.split(":")
+            if len(parts) != 2:
+                continue
+            out[str(parts[0])] = float(parts[1])
+        return out
+
+
+def build_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
+    extra = config.params_to_dict()
+    transforms = []
+    if "clip_gradient" in extra:
+        # elementwise clip, MXNet clip_gradient semantics
+        transforms.append(optax.clip(extra.pop("clip_gradient")))
+    if "clip_global_norm" in extra:
+        transforms.append(optax.clip_by_global_norm(extra.pop("clip_global_norm")))
+
+    lr = config.learning_rate
+    name = config.optimizer.lower()
+    wd = extra.pop("wd", extra.pop("weight_decay", 0.0))
+    if name == "adam":
+        core = optax.adam(
+            lr,
+            b1=extra.pop("beta1", 0.9),
+            b2=extra.pop("beta2", 0.999),
+            eps=extra.pop("epsilon", 1e-8),
+        )
+    elif name == "adamw":
+        core = optax.adamw(
+            lr,
+            b1=extra.pop("beta1", 0.9),
+            b2=extra.pop("beta2", 0.999),
+            eps=extra.pop("epsilon", 1e-8),
+            weight_decay=wd or 1e-2,
+        )
+        wd = 0.0
+    elif name == "sgd":
+        core = optax.sgd(lr, momentum=extra.pop("momentum", 0.0))
+    elif name == "rmsprop":
+        core = optax.rmsprop(lr, decay=extra.pop("gamma1", 0.9),
+                             eps=extra.pop("epsilon", 1e-8))
+    else:
+        raise ValueError(f"unsupported optimizer {config.optimizer!r}")
+    transforms.append(core)
+    if wd:
+        transforms.append(optax.add_decayed_weights(-wd))
+    return optax.chain(*transforms)

@@ -1,0 +1,183 @@
+"""The fused jitted train step: forward + loss + grad + optimizer update.
+
+Replaces the reference's eager per-op hot loop (trainer.py:155-179, which
+runs un-hybridized MXNet with Python prints inside attention) with ONE
+XLA-compiled program per step. Under a mesh, the batch is sharded over the
+"data" axis and gradients are reduced by XLA-inserted psums (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh
+
+from ..models.vae import StyleVAE
+from ..parallel.mesh import batch_sharding, param_shardings, replicated
+from .loss import vae_loss
+from .metrics import step_metrics
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    kl_weight: float = 1.0
+    label_smoothing: float = 0.0
+    normalize: str = "valid"
+
+
+def create_train_state(
+    params: Any, tx: optax.GradientTransformation, rng: jax.Array
+) -> TrainState:
+    # Copy params: the train step donates its input state (buffer reuse on
+    # TPU), which would delete the caller's arrays out from under any other
+    # holder (e.g. a sampler sharing weights, or a second Trainer).
+    params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=rng,
+    )
+
+
+def make_train_step(
+    model: StyleVAE,
+    tx: optax.GradientTransformation,
+    loss_config: LossConfig,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Returns step(state, tokens, seq_lens, classes, labels) ->
+    (state, metrics) where metrics is a dict of (sum, count) scalars.
+    """
+
+    def step_fn(
+        state: TrainState,
+        tokens: jax.Array,
+        seq_lens: jax.Array,
+        classes: jax.Array,
+        labels: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, Tuple[jax.Array, jax.Array]]]:
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        sample_rng, dropout_rng = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            logits, mu, logvar = model.apply(
+                {"params": params},
+                tokens,
+                seq_lens,
+                classes,
+                train=True,
+                rngs={"sample": sample_rng, "dropout": dropout_rng},
+            )
+            total, scalars = vae_loss(
+                logits,
+                labels,
+                mu,
+                logvar,
+                kl_weight=loss_config.kl_weight,
+                label_smoothing=loss_config.label_smoothing,
+                normalize=loss_config.normalize,
+            )
+            return total, (logits, scalars)
+
+        (_, (logits, scalars)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = step_metrics(logits, labels, scalars)
+        metrics["grad_norm"] = (optax.global_norm(grads), jnp.asarray(1, jnp.int32))
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # Under a mesh, the caller holds a state whose params/opt_state were
+    # placed via shard_train_state(); jit propagates those shardings. The
+    # batch is placed on the data axis here so each step's host->device
+    # transfer is already partitioned.
+    data_sh = batch_sharding(mesh)
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def run(state, tokens, seq_lens, classes, labels):
+        tokens, seq_lens, classes, labels = jax.device_put(
+            (tokens, seq_lens, classes, labels), data_sh
+        )
+        return jitted(state, tokens, seq_lens, classes, labels)
+
+    return run
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState onto a mesh: params (and the matching adam
+    moments) follow the tensor-parallel rules; scalars are replicated."""
+    p_sh = param_shardings(state.params, mesh)
+    repl = replicated(mesh)
+
+    def shard_opt(opt_state):
+        def _one(node):
+            if (
+                jax.tree_util.tree_structure(node)
+                == jax.tree_util.tree_structure(state.params)
+            ):
+                return jax.device_put(node, p_sh)
+            return jax.device_put(node, repl)
+
+        # optax states are tuples/namedtuples whose fields are either
+        # param-shaped trees (mu, nu) or scalars (count).
+        return jax.tree.map(
+            _one,
+            opt_state,
+            is_leaf=lambda n: jax.tree_util.tree_structure(n)
+            == jax.tree_util.tree_structure(state.params),
+        )
+
+    return TrainState(
+        step=jax.device_put(state.step, repl),
+        params=jax.device_put(state.params, p_sh),
+        opt_state=shard_opt(state.opt_state),
+        rng=jax.device_put(state.rng, repl),
+    )
+
+
+def make_eval_step(model: StyleVAE, loss_config: LossConfig) -> Callable:
+    """Deterministic evaluation step (z = mu, no dropout).
+
+    The reference's validation pass re-runs the training forward including
+    z-sampling and dropout (trainer.py:155-179 with is_train=False); here
+    evaluation is deterministic — a documented divergence.
+    """
+
+    def eval_fn(params, tokens, seq_lens, classes, labels):
+        logits, mu, logvar = model.apply(
+            {"params": params}, tokens, seq_lens, classes, train=False
+        )
+        _, scalars = vae_loss(
+            logits,
+            labels,
+            mu,
+            logvar,
+            kl_weight=loss_config.kl_weight,
+            label_smoothing=loss_config.label_smoothing,
+            normalize=loss_config.normalize,
+        )
+        return step_metrics(logits, labels, scalars)
+
+    return jax.jit(eval_fn)

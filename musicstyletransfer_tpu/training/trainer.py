@@ -1,0 +1,235 @@
+"""Training loop: epochs, periodic logging, checkpoint-driven early stop,
+in-training sampling (reference: VarAutoEncoder/trainer.py:38-270).
+
+Differences from the reference, by design:
+
+- the hot loop is ONE jitted XLA program per batch (train_step.py) instead
+  of eager per-op dispatch;
+- batches keep static shapes; host->device transfer is pre-sharded over the
+  mesh's data axis when a mesh is given;
+- optimizer state is checkpointed and restored;
+- TensorBoard scalars go through tensorboardX (logdir configurable; the
+  reference hardcodes /tmp/out, trainer.py:84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import Batch, Dataset
+from ..models.vae import StyleVAE
+from . import checkpoint as ckpt
+from .metrics import MetricAccumulator
+from .optimizer import OptimizerConfig, build_optimizer
+from .train_step import (
+    LossConfig,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    shard_train_state,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Reference: trainer.py:38-57 (TrainConfig)."""
+
+    batch_size: int = 1
+    sampling_frequency: int = 1000
+    checkpoint_frequency: int = 5000
+    num_checkpoints_not_improved: int = 10
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    kl_loss_weight: float = 1.0
+    label_smoothing: float = 0.0
+    negative_label_downscaling: bool = False  # GAN leftover, kept for parity
+    verbose: bool = False
+    logdir: str = "/tmp/out"
+    log_every: int = 50  # reference: trainer.py:139
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        model: StyleVAE,
+        params,
+        sampler=None,
+        mesh=None,
+    ):
+        self.config = config
+        self.model = model
+        self.sampler = sampler
+        self.mesh = mesh
+
+        self.tx = build_optimizer(config.optimizer)
+        loss_cfg = LossConfig(
+            kl_weight=config.kl_loss_weight,
+            label_smoothing=config.label_smoothing,
+        )
+        self.train_step = make_train_step(model, self.tx, loss_cfg, mesh=mesh)
+        self.eval_step = make_eval_step(model, loss_cfg)
+        self.state = create_train_state(
+            params, self.tx, jax.random.key(config.seed)
+        )
+        if mesh is not None:
+            self.state = shard_train_state(self.state, mesh)
+        self.metrics = MetricAccumulator()
+        self.progress = ckpt.TrainingProgress()
+        self._writer = None
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+
+            os.makedirs(self.config.logdir, exist_ok=True)
+            self._writer = SummaryWriter(logdir=self.config.logdir, flush_secs=5)
+        return self._writer
+
+    # ------------------------------------------------------------------
+
+    def fit(
+        self,
+        dataset: Dataset,
+        model_folder: str,
+        epochs: int,
+        validation_dataset: Optional[Dataset] = None,
+    ) -> None:
+        start_time = time.time()
+        os.makedirs(model_folder, exist_ok=True)
+        self._load_latest_checkpoint(model_folder)
+
+        cfg = self.config
+        for epoch in range(epochs):
+            for batch in dataset:
+                self._step(batch)
+                self.progress.n_batches += 1
+
+                if self.progress.n_batches % cfg.log_every == 0:
+                    self._periodic_log(epoch, start_time)
+
+                if self.progress.n_batches % cfg.checkpoint_frequency == 0:
+                    self._checkpoint(model_folder, validation_dataset)
+                    if (
+                        self.progress.num_checkpoints_not_improved
+                        == cfg.num_checkpoints_not_improved
+                    ):
+                        print(
+                            "Maximum checkpoints not improved reached. "
+                            "Stopping training."
+                        )
+                        return
+
+                if (
+                    self.sampler is not None
+                    and cfg.sampling_frequency > 0
+                    and self.progress.n_batches % cfg.sampling_frequency == 0
+                ):
+                    self.sampler.update_parameters(self.state.params)
+                    self.sampler.process_batch(
+                        batch,
+                        os.path.join(
+                            model_folder, f"samples/step-{self.progress.n_batches}"
+                        ),
+                        dataset.num_classes(),
+                    )
+
+    # ------------------------------------------------------------------
+
+    def _step(self, batch: Batch) -> None:
+        self.state, metrics = self.train_step(
+            self.state,
+            jnp.asarray(batch.tokens),
+            jnp.asarray(batch.seq_lens),
+            jnp.asarray(batch.classes),
+            jnp.asarray(batch.labels),
+        )
+        self.metrics.update(jax.device_get(metrics))
+
+    def _eval_pass(self, validation_dataset: Dataset) -> float:
+        acc = MetricAccumulator()
+        for batch in validation_dataset:
+            metrics = self.eval_step(
+                self.state.params,
+                jnp.asarray(batch.tokens),
+                jnp.asarray(batch.seq_lens),
+                jnp.asarray(batch.classes),
+                jnp.asarray(batch.labels),
+            )
+            acc.update(jax.device_get(metrics))
+        vals = acc.get()
+        self._write_scalars({f"validation_{k}": v for k, v in vals.items()})
+        print(
+            "Validation: "
+            + " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items()))
+        )
+        return vals["total_loss"]
+
+    def _checkpoint(self, model_folder: str, validation_dataset) -> None:
+        self.progress.n_checkpoints += 1
+        print(f"\nCheckpoint {self.progress.n_checkpoints} reached.")
+        ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints, self.state)
+        self.progress.save(model_folder)
+        self.metrics.reset()
+
+        if validation_dataset is None:
+            return
+        loss = self._eval_pass(validation_dataset)
+        if loss < self.progress.best_reconstruction_loss:
+            print(
+                f"Loss improved from {self.progress.best_reconstruction_loss} "
+                f"to {loss}."
+            )
+            self.progress.best_reconstruction_loss = loss
+            self.progress.num_checkpoints_not_improved = 0
+        else:
+            self.progress.num_checkpoints_not_improved += 1
+            print(
+                f"Loss did not improve. "
+                f"{self.progress.num_checkpoints_not_improved} out of "
+                f"{self.config.num_checkpoints_not_improved} unsuccessful "
+                f"checkpoints"
+            )
+            print(f"Best loss thus far: {self.progress.best_reconstruction_loss}")
+        self.progress.save(model_folder)
+
+    def _load_latest_checkpoint(self, model_folder: str) -> None:
+        print(f"Looking into folder {model_folder} for a valid training.")
+        latest = ckpt.try_latest(model_folder)
+        if latest is None:
+            print("No checkpoint was found. Starting training from scratch")
+            return
+        print(f"Checkpoint {latest} found. Resuming training.")
+        self.state = ckpt.restore_checkpoint(model_folder, latest, self.state)
+        if self.mesh is not None:
+            self.state = shard_train_state(self.state, self.mesh)
+        try:
+            self.progress = ckpt.TrainingProgress.load(model_folder)
+        except FileNotFoundError:
+            pass
+
+    # ------------------------------------------------------------------
+
+    def _write_scalars(self, scalars) -> None:
+        for name, val in scalars.items():
+            self.writer.add_scalar(name, val, global_step=self.progress.n_batches)
+
+    def _periodic_log(self, epoch: int, start_time: float) -> None:
+        vals = self.metrics.get()
+        self._write_scalars(vals)
+        self.metrics.reset()
+        ups = self.progress.n_batches / max(time.time() - start_time, 1e-9)
+        line = " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items()))
+        print(
+            f"Epoch [{epoch}] Batch [{self.progress.n_batches}] "
+            f"updates/sec: {ups:.2f} {line}"
+        )

@@ -1,0 +1,184 @@
+"""Training stack tests: losses, metrics, optimizer parsing, toy overfit,
+checkpoint save/restore, tensorizer semantics."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicstyletransfer_tpu.data import Batch, MelodyDataset, ToyData, tensorize_melodies
+from musicstyletransfer_tpu.midi.codec import Melody
+from musicstyletransfer_tpu.midi.vocab import EOS_ID, PAD_ID, SOS_ID
+from musicstyletransfer_tpu.models import init_params, make_model
+from musicstyletransfer_tpu.training import (
+    LossConfig,
+    OptimizerConfig,
+    TrainState,
+    build_optimizer,
+    create_train_state,
+    kl_divergence,
+    make_train_step,
+    masked_cross_entropy,
+    restore_checkpoint,
+    save_checkpoint,
+    get_latest_checkpoint_index,
+)
+from tests.test_model import tiny_config
+
+
+class TestLoss:
+    def test_kl_zero_at_standard_normal(self):
+        mu = jnp.zeros((2, 4))
+        logvar = jnp.zeros((2, 4))
+        assert float(jnp.max(jnp.abs(kl_divergence(mu, logvar)))) < 1e-6
+
+    def test_kl_matches_reference_formula(self):
+        # reference loss.py:8-12 with sigma = exp(logvar/2)
+        rng = np.random.default_rng(0)
+        mu = rng.normal(size=(3, 5)).astype(np.float32)
+        sigma = np.abs(rng.normal(size=(3, 5))).astype(np.float32) + 0.1
+        logvar = 2 * np.log(sigma)
+        want = 0.5 * np.sum(sigma**2 + mu**2 - 1 - np.log(sigma**2), axis=1)
+        got = np.asarray(kl_divergence(jnp.asarray(mu), jnp.asarray(logvar)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_ce_masks_pad(self):
+        logits = jnp.zeros((1, 3, 5))
+        labels = jnp.array([[2, PAD_ID, PAD_ID]])
+        ce = masked_cross_entropy(logits, labels)
+        # uniform logits: -log(1/5) on the single valid position
+        np.testing.assert_allclose(float(ce[0]), math.log(5), rtol=1e-5)
+
+    def test_ce_perfect_prediction(self):
+        logits = jnp.full((1, 2, 4), -100.0)
+        logits = logits.at[0, 0, 2].set(100.0).at[0, 1, 3].set(100.0)
+        labels = jnp.array([[2, 3]])
+        assert float(masked_cross_entropy(logits, labels)[0]) < 1e-5
+
+
+class TestOptimizerConfig:
+    def test_param_string_parsing(self):
+        oc = OptimizerConfig("adam", "clip_gradient:1.0,beta1:0.8", 1e-3)
+        assert oc.params_to_dict() == {"clip_gradient": 1.0, "beta1": 0.8}
+
+    def test_malformed_pairs_ignored(self):
+        # reference trainer.py:23-35: pairs with != 1 delimiter are ignored
+        oc = OptimizerConfig("adam", "a:b:c,clip_gradient:0.5,,x", 1e-3)
+        assert oc.params_to_dict() == {"clip_gradient": 0.5}
+
+    def test_build(self):
+        tx = build_optimizer(OptimizerConfig("adam", "clip_gradient:1.0", 1e-3))
+        params = {"w": jnp.ones((2,))}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.full((2,), 100.0)}, state, params)
+        assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+    def test_unknown_optimizer_raises(self):
+        with pytest.raises(ValueError):
+            build_optimizer(OptimizerConfig("nope", "", 1e-3))
+
+
+class TestTensorizer:
+    def _melody(self, toks):
+        return Melody(tokens=np.asarray(toks, np.int32))
+
+    def test_layout(self):
+        mel = {"a": [self._melody([5, 6, 7])]}
+        tokens, seq_lens, classes, labels = tensorize_melodies(mel, max_seq_len=5)
+        assert tokens.tolist() == [[SOS_ID, 5, 6, 7, PAD_ID, PAD_ID]]
+        assert labels.tolist() == [[5, 6, 7, EOS_ID, PAD_ID, PAD_ID]]
+        assert seq_lens.tolist() == [4]  # 3 tokens + SOS
+        assert classes.tolist() == [0]
+
+    def test_chunking(self):
+        mel = {"a": [self._melody(list(range(10, 17)))]}  # 7 tokens, L=3
+        tokens, seq_lens, classes, labels = tensorize_melodies(mel, max_seq_len=3)
+        assert tokens.shape == (3, 4)
+        assert tokens[0].tolist() == [SOS_ID, 10, 11, 12]
+        assert tokens[1].tolist() == [SOS_ID, 13, 14, 15]
+        assert tokens[2].tolist() == [SOS_ID, 16, PAD_ID, PAD_ID]
+        assert labels[2].tolist() == [16, EOS_ID, PAD_ID, PAD_ID]
+
+    def test_exact_multiple_has_no_empty_chunk(self):
+        # divergence from reference data.py:157-160 (documented in dataset.py)
+        mel = {"a": [self._melody([10, 11, 12])]}
+        tokens, _, _, _ = tensorize_melodies(mel, max_seq_len=3)
+        assert tokens.shape[0] == 1
+
+    def test_per_row_eos(self):
+        # the §8.2 fix: each row gets EOS at ITS OWN length
+        mel = {"a": [self._melody([5, 6]), self._melody([5, 6, 7, 8])]}
+        _, seq_lens, _, labels = tensorize_melodies(mel, max_seq_len=4)
+        assert labels[0].tolist() == [5, 6, EOS_ID, PAD_ID, PAD_ID]
+        assert labels[1].tolist() == [5, 6, 7, 8, EOS_ID]
+
+    def test_class_ordering_sorted(self):
+        mel = {
+            "zeta": [self._melody([5, 6, 7, 8, 9, 10, 11, 12, 13, 14])],
+            "alpha": [self._melody([5, 6, 7, 8, 9, 10, 11, 12, 13, 14])],
+        }
+        _, _, classes, _ = tensorize_melodies(mel, max_seq_len=20)
+        # alpha sorts first -> class 0
+        assert classes.tolist() == [0, 1]
+
+    def test_dataset_static_batches(self):
+        mel = {"a": [self._melody(list(range(10, 25)))]}
+        ds = MelodyDataset(batch_size=4, maximum_sequence_length=4, melodies=mel)
+        batches = list(ds)
+        assert all(b.tokens.shape == (4, 5) for b in batches)
+        # 15 tokens / L=4 -> 4 chunks -> 1 batch of 4
+        assert len(batches) == 1
+
+    def test_wrap_padding(self):
+        mel = {"a": [self._melody(list(range(10, 32)))]}  # 22 toks, L=4 -> 6 chunks
+        ds = MelodyDataset(batch_size=4, maximum_sequence_length=4, melodies=mel)
+        batches = list(ds)
+        assert len(batches) == 2
+        assert batches[1].tokens.shape == (4, 5)  # wrap-padded
+
+
+class TestTrainLoop:
+    def test_toy_overfit(self):
+        """The minimum end-to-end slice (SURVEY.md §7): toy VAE loss falls
+        and accuracy rises within a few hundred jitted steps."""
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=32, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "clip_gradient:1.0", 1e-3))
+        state = create_train_state(params, tx, jax.random.key(1))
+        step = make_train_step(model, tx, LossConfig(kl_weight=0.1))
+        batch = next(iter(ToyData()))
+        args = tuple(
+            jnp.asarray(a)
+            for a in (batch.tokens, batch.seq_lens, batch.classes, batch.labels)
+        )
+        first = None
+        for i in range(300):
+            state, m = step(state, *args)
+            if first is None:
+                first = float(m["total_loss"][0])
+        last = float(m["total_loss"][0])
+        acc = float(m["acc"][0]) / float(m["acc"][1])
+        assert last < first * 0.5, (first, last)
+        assert acc >= 0.75, acc
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        cfg = tiny_config()
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        state = create_train_state(params, tx, jax.random.key(1))
+        folder = str(tmp_path)
+        save_checkpoint(folder, 3, state)
+        save_checkpoint(folder, 12, state)
+        assert get_latest_checkpoint_index(folder) == 12  # §8.11 regex fix
+
+        template = create_train_state(params, tx, jax.random.key(2))
+        restored = restore_checkpoint(folder, 12, template)
+        for a, b in zip(jax.tree.leaves(restored.params),
+                        jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
