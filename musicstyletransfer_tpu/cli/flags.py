@@ -1,0 +1,93 @@
+"""Argparse surface matching the reference flag names.
+
+Reference: VarAutoEncoder/config.py:1-75. Flags, grouping, defaults and the
+``parse_known_args`` behavior are preserved; TPU-era additions are grouped
+under 'TPU'. ``--gpu`` is accepted for CLI compatibility and ignored
+(device selection is JAX's; see the TPU group).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def str2bool(v: str) -> bool:
+    return v.lower() in ("true", "1")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+
+    net = parser.add_argument_group("Network")
+    net.add_argument("--e-n-layers", type=int, default=1)
+    net.add_argument("--e-rnn-hidden-dim", type=int, default=128)
+    net.add_argument("--e-emb-hidden-dim", type=int, default=64)
+    net.add_argument("--e-dropout", type=float, default=0.0)
+    net.add_argument("--e-num-heads", type=int, default=8)
+    net.add_argument("--latent-dim", type=int, default=64)
+    net.add_argument("--d-n-layers", type=int, default=1)
+    net.add_argument("--d-rnn-hidden-dim", type=int, default=128)
+    net.add_argument("--d-dropout", type=float, default=0.0)
+    net.add_argument(
+        "--decoder-type", choices=["transformer", "lstm"], default="transformer"
+    )
+
+    data = parser.add_argument_group("Data")
+    data.add_argument("--batch-size", type=int, default=1)
+    data.add_argument("--max-seq-len", type=int, default=64)
+    data.add_argument("--slices-per-quarter-note", type=float, default=4)
+    data.add_argument("--data", type=str, default="data")
+    data.add_argument("--validation-data", type=str, default=None)
+    data.add_argument("--minimum-pattern-length", type=int, default=16)
+    data.add_argument(
+        "--pattern-identifier", type=str, choices=["recurring", ""], default=""
+    )
+
+    train = parser.add_argument_group("Training")
+    train.add_argument("--epochs", type=int, default=5000)
+    train.add_argument("--learning-rate", type=float, default=3e-4)
+    train.add_argument("--optimizer", type=str, default="adam")
+    train.add_argument("--optimizer-params", type=str, default="")
+    train.add_argument("--validation-split", type=float, default=0.1)
+    train.add_argument("--kl-loss", type=float, default=1.0)
+    train.add_argument("--label-smoothing", type=float, default=0.0)
+    train.add_argument("--negative-label-downscaling", action="store_true")
+    train.add_argument("--beam-size", type=int, default=5)
+    train.add_argument(
+        "--sampling-type", choices=["beam-search", "sampling"], default="sampling"
+    )
+
+    misc = parser.add_argument_group("Misc")
+    misc.add_argument("--load-checkpoint", type=int, default=1)
+    misc.add_argument("--checkpoint-frequency", type=int, default=5000)
+    misc.add_argument("--sampling-frequency", type=int, default=1000)
+    misc.add_argument("--num-checkpoints-not-improved", type=int, default=10)
+    misc.add_argument("--out-samples", "-o", type=str, default=None)
+    misc.add_argument("--model-output", "-m", type=str, default="models")
+    misc.add_argument("--checkpoint", "-c", type=int, default=-1)
+    misc.add_argument("--gpu", action="store_true")  # ignored; JAX picks devices
+    misc.add_argument("--toy", action="store_true")
+    misc.add_argument("--visualize-samples", action="store_true")
+    misc.add_argument("--verbose", action="store_true")
+
+    tpu = parser.add_argument_group("TPU")
+    tpu.add_argument(
+        "--tp", type=int, default=1,
+        help="tensor-parallel ways over the device mesh's 'model' axis",
+    )
+    tpu.add_argument(
+        "--dtype", choices=["bfloat16", "float32"], default="bfloat16",
+        help="activation compute dtype (params stay float32)",
+    )
+    tpu.add_argument("--logdir", type=str, default="/tmp/out",
+                     help="TensorBoard logdir (reference hardcodes /tmp/out)")
+    tpu.add_argument("--seed", type=int, default=0)
+    tpu.add_argument("--cpu", action="store_true",
+                     help="force CPU devices (tests/dev)")
+    return parser
+
+
+def get_config(argv=None) -> argparse.Namespace:
+    """parse_known_args like the reference (config.py:73-75)."""
+    config, _unparsed = build_parser().parse_known_args(argv)
+    return config

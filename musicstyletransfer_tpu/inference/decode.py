@@ -1,0 +1,205 @@
+"""On-device autoregressive decoding: ancestral sampling + beam search.
+
+Replaces the reference's Python-stepped generation loop with one host sync
+per token (sampler.py:161-257, SURVEY.md §3.3) by a single jitted program:
+``lax.while_loop`` over KV-cache decode steps, batched multinomial sampling
+via ``jax.random.categorical``, per-sequence EOS stopping (fixing the §8.9
+SOS/PAD stop quirk), and an early exit once every sequence is done.
+
+Beam search is a working re-design of the reference's LSTM-API-bound
+implementation (sampler.py:192-257, broken against the transformer decoder —
+SURVEY.md §8.10): score-folded top-k over (beam x vocab) with on-device
+hypothesis and cache reordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..midi.vocab import EOS_ID, PAD_ID, SOS_ID
+from ..models.vae import StyleVAE
+
+
+class _SampleLoopState(NamedTuple):
+    seqs: jax.Array  # [B, max_len] generated ids (position 0 = SOS)
+    scores: jax.Array  # [B] accumulated -log p of sampled tokens
+    cache: Tuple  # per-layer KV cache
+    t: jax.Array  # current position
+    rng: jax.Array
+    done: jax.Array  # [B] bool
+
+
+def _encode_deterministic(model: StyleVAE, params, tokens, seq_lens, classes):
+    """z = mu: deterministic encode at inference (reference: sampler.py:145-151)."""
+    mu, _ = model.apply(
+        {"params": params}, tokens, seq_lens, classes, method=StyleVAE.encode
+    )
+    return mu
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def sample_sequences(
+    model: StyleVAE,
+    params,
+    tokens: jax.Array,
+    seq_lens: jax.Array,
+    classes: jax.Array,
+    max_len: int,
+    rng: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode + ancestral multinomial decode, fully on device.
+
+    tokens: [B, L+1] SOS-prefixed source sequences; classes: [B] target
+    style ids (style transfer = pass a different class than encoded —
+    reference sampler.py:93-104 swaps batch.data[2]).
+
+    Returns (seqs [B, max_len] with SOS at position 0 and PAD after EOS,
+    scores [B] = sum of -log p of emitted tokens).
+    """
+    z = _encode_deterministic(model, params, tokens, seq_lens, classes)
+    return decode_sampled(model, params, z, classes, max_len, rng)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def decode_sampled(
+    model: StyleVAE,
+    params,
+    z: jax.Array,
+    classes: jax.Array,
+    max_len: int,
+    rng: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ancestral multinomial decode from a latent (z, classes) pair."""
+    B = z.shape[0]
+    cache = model.apply(
+        {"params": params}, z, classes, max_len + 1, method=StyleVAE.decode_prefill
+    )
+    seqs = jnp.full((B, max_len), PAD_ID, jnp.int32).at[:, 0].set(SOS_ID)
+
+    def cond(st: _SampleLoopState):
+        return (st.t < max_len) & ~jnp.all(st.done)
+
+    def body(st: _SampleLoopState) -> _SampleLoopState:
+        last = jax.lax.dynamic_slice_in_dim(st.seqs, st.t - 1, 1, axis=1)[:, 0]
+        logits, cache = model.apply(
+            {"params": params}, last, st.cache, st.t, method=StyleVAE.decode_step
+        )
+        rng, key = jax.random.split(st.rng)
+        nxt = jax.random.categorical(key, logits).astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        scores = st.scores + jnp.where(st.done, 0.0, -tok_logp)
+        done = st.done | (nxt == EOS_ID)
+        nxt = jnp.where(st.done, PAD_ID, nxt)
+        seqs = jax.lax.dynamic_update_slice(st.seqs, nxt[:, None], (0, st.t))
+        return _SampleLoopState(seqs, scores, cache, st.t + 1, rng, done)
+
+    init = _SampleLoopState(
+        seqs=seqs,
+        scores=jnp.zeros((B,), jnp.float32),
+        cache=cache,
+        t=jnp.asarray(1, jnp.int32),
+        rng=rng,
+        done=jnp.zeros((B,), bool),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.seqs, final.scores
+
+
+class _BeamLoopState(NamedTuple):
+    seqs: jax.Array  # [B*K, max_len]
+    scores: jax.Array  # [B, K] cumulative -log p (lower is better)
+    cache: Tuple
+    t: jax.Array
+    done: jax.Array  # [B*K]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def beam_search(
+    model: StyleVAE,
+    params,
+    tokens: jax.Array,
+    seq_lens: jax.Array,
+    classes: jax.Array,
+    max_len: int,
+    beam_size: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode + batched beam-search decode.
+
+    Returns (seqs [B, max_len] best hypothesis per sequence, scores [B]).
+    """
+    z = _encode_deterministic(model, params, tokens, seq_lens, classes)
+    return decode_beam(model, params, z, classes, max_len, beam_size)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def decode_beam(
+    model: StyleVAE,
+    params,
+    z: jax.Array,
+    classes: jax.Array,
+    max_len: int,
+    beam_size: int,
+) -> Tuple[jax.Array, jax.Array]:
+    B = z.shape[0]
+    K = beam_size
+    V = model.config.decoder_config.output_dim
+
+    z_rep = jnp.repeat(z, K, axis=0)  # [B*K, latent]
+    classes_rep = jnp.repeat(classes, K, axis=0)
+    cache = model.apply(
+        {"params": params}, z_rep, classes_rep, max_len + 1,
+        method=StyleVAE.decode_prefill,
+    )
+    seqs = jnp.full((B * K, max_len), PAD_ID, jnp.int32).at[:, 0].set(SOS_ID)
+    # Only beam 0 is live initially so identical expansions don't tie.
+    scores = jnp.where(
+        jnp.arange(K)[None, :] == 0, 0.0, jnp.inf
+    ) * jnp.ones((B, 1))
+    batch_offset = (jnp.arange(B) * K)[:, None]  # [B, 1]
+
+    def cond(st: _BeamLoopState):
+        return (st.t < max_len) & ~jnp.all(st.done)
+
+    def body(st: _BeamLoopState) -> _BeamLoopState:
+        last = jax.lax.dynamic_slice_in_dim(st.seqs, st.t - 1, 1, axis=1)[:, 0]
+        logits, cache = model.apply(
+            {"params": params}, last, st.cache, st.t, method=StyleVAE.decode_step
+        )
+        nll = -jax.nn.log_softmax(logits, axis=-1)  # [B*K, V]
+        # Finished hypotheses may only extend with PAD at no cost.
+        pad_only = jnp.full((V,), jnp.inf).at[PAD_ID].set(0.0)
+        nll = jnp.where(st.done[:, None], pad_only[None, :], nll)
+        expanded = st.scores.reshape(B * K, 1) + nll  # [B*K, V]
+        folded = expanded.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(-folded, K)  # max of negated
+        new_scores = -top_scores  # [B, K]
+        hyp_idx = top_idx // V  # [B, K] source beam per new hypothesis
+        word_idx = (top_idx % V).astype(jnp.int32)  # [B, K]
+
+        flat_src = (hyp_idx + batch_offset).reshape(B * K)
+        seqs = jnp.take(st.seqs, flat_src, axis=0)
+        seqs = jax.lax.dynamic_update_slice(
+            seqs, word_idx.reshape(B * K, 1), (0, st.t)
+        )
+        cache = jax.tree.map(lambda c: jnp.take(c, flat_src, axis=0), cache)
+        done = jnp.take(st.done, flat_src, axis=0) | (
+            word_idx.reshape(B * K) == EOS_ID
+        )
+        return _BeamLoopState(seqs, new_scores, cache, st.t + 1, done)
+
+    init = _BeamLoopState(
+        seqs=seqs,
+        scores=scores,
+        cache=cache,
+        t=jnp.asarray(1, jnp.int32),
+        done=jnp.zeros((B * K,), bool),
+    )
+    final = beam = jax.lax.while_loop(cond, body, init)
+    # Hypotheses are kept sorted by top_k: beam 0 is the best.
+    best = final.seqs.reshape(B, K, max_len)[:, 0]
+    return best, final.scores[:, 0]

@@ -51,7 +51,7 @@ def register_config(cls: Type[_T]) -> Type[_T]:
     return cls
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class Config:
     """Base for YAML-persistable configs (reference: config.py:90-222)."""
 
@@ -75,7 +75,7 @@ class Config:
 
 
 @register_config
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class TransformerConfig(Config):
     """Reference: transformer.py:8-21."""
 
@@ -91,7 +91,7 @@ class TransformerConfig(Config):
 
 
 @register_config
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class LSTMConfig(Config):
     """Legacy LSTM decoder config (reference: model.py:11-19)."""
 
@@ -101,7 +101,7 @@ class LSTMConfig(Config):
 
 
 @register_config
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class EncoderConfig(Config):
     """Reference: model.py:35-45."""
 
@@ -114,7 +114,7 @@ class EncoderConfig(Config):
 
 
 @register_config
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class DecoderConfig(Config):
     """Reference: model.py:22-32; ``decoder_type`` selects the legacy LSTM
     variant (model.py:131-203) instead of the transformer decoder."""
@@ -130,7 +130,7 @@ class DecoderConfig(Config):
 
 
 @register_config
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class ModelConfig(Config):
     """Reference: model.py:48-54."""
 

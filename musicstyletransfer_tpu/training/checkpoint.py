@@ -105,13 +105,17 @@ def restore_params(model_folder: str, index: int, params_template):
     """Restore only model parameters (inference path, reference sampler.py:32-37)."""
     path = checkpoint_path(model_folder, index)
     ckptr = ocp.StandardCheckpointer()
-    target = {"params": jax.device_get(params_template)}
-    # Partial restore: read the params subtree of the checkpoint.
-    restored = ckptr.restore(
-        path,
-        ocp.args.StandardRestore(target, strict=False),
-    )
-    return restored["params"]
+    # Restore the serialized dict and take the params subtree; validate the
+    # tree structure against the template.
+    restored = ckptr.restore(path)
+    params = restored["params"]
+    want = jax.tree_util.tree_structure(jax.device_get(params_template))
+    got = jax.tree_util.tree_structure(params)
+    if want != got:
+        raise ValueError(
+            f"checkpoint params structure mismatch: {got} vs template {want}"
+        )
+    return params
 
 
 def try_latest(model_folder: str) -> Optional[int]:
