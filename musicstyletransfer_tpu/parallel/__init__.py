@@ -4,6 +4,7 @@ from .mesh import (
     batch_sharding,
     make_mesh,
     param_shardings,
+    param_spec,
     replicated,
     shard_batch,
     shard_params,
@@ -15,6 +16,7 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "param_shardings",
+    "param_spec",
     "replicated",
     "shard_batch",
     "shard_params",
