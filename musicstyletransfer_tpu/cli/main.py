@@ -17,6 +17,7 @@ from ..data import Loader, ToyData, load_dataset
 from ..models import (
     DecoderConfig,
     EncoderConfig,
+    LSTMConfig,
     ModelConfig,
     TransformerConfig,
     init_params,
@@ -54,6 +55,15 @@ def create_model_config(args, dataset) -> ModelConfig:
             num_classes=dataset.num_classes(),
             output_dim=dataset.num_tokens(),
             decoder_type=args.decoder_type,
+            lstm_config=(
+                LSTMConfig(
+                    n_layers=args.d_n_layers,
+                    hidden_dim=args.d_rnn_hidden_dim,
+                    dropout=args.d_dropout,
+                )
+                if args.decoder_type == "lstm"
+                else None
+            ),
         ),
         dtype=args.dtype,
     )

@@ -71,10 +71,18 @@ class FeedForward(nn.Module):
 
 class MultiHeadSelfAttention(nn.Module):
     """Standard scaled-dot self-attention with batched train path and a
-    single-position cached step path (reference: transformer.py:49-126)."""
+    single-position cached step path (reference: transformer.py:49-126).
+
+    With ``use_flash=True`` the batched path runs the Pallas fused kernel
+    (ops/flash_attention.py) — interpreter mode on CPU, compiled on TPU.
+    Requires prefix-contiguous key masks (which is what the pipeline
+    produces: PAD is always a suffix).
+    """
 
     model_size: int
     num_heads: int
+    causal: bool = False
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
@@ -88,16 +96,38 @@ class MultiHeadSelfAttention(nn.Module):
     def _heads(self, x: jax.Array) -> jax.Array:
         return x.reshape(*x.shape[:-1], self.num_heads, self.head_dim)
 
-    def __call__(self, x: jax.Array, bias: jax.Array) -> jax.Array:
-        """x: [B, T, D]; bias: additive mask broadcastable to [B, H, T, T]."""
+    def __call__(self, x: jax.Array, key_mask: jax.Array) -> jax.Array:
+        """x: [B, T, D]; key_mask: [B, T] True at valid (non-PAD) keys."""
         q = self._heads(self.w_q(x))
         k = self._heads(self.w_k(x))
         v = self._heads(self.w_v(x))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(self.head_dim, dtype=q.dtype)
-        )
-        probs = jax.nn.softmax(logits + bias, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        if self.use_flash:
+            from ..ops.flash_attention import flash_attention, should_interpret
+
+            interpret = should_interpret()
+            key_lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_lens,
+                self.causal,
+                None,
+                interpret,
+            ).transpose(0, 2, 1, 3)
+        else:
+            bias = jnp.where(
+                key_mask[:, None, None, :].astype(bool), 0.0, _NEG_INF
+            )
+            if self.causal:
+                T = x.shape[1]
+                tri = jnp.tril(jnp.ones((T, T), dtype=bool))
+                bias = bias + jnp.where(tri[None, None], 0.0, _NEG_INF)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(self.head_dim, dtype=q.dtype)
+            )
+            probs = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return self.w_o(out.reshape(*x.shape[:-1], self.model_size))
 
     def step(
@@ -135,12 +165,17 @@ class TransformerLayer(nn.Module):
     transformer.py:162-200 with its residual bug fixed)."""
 
     config: TransformerConfig
+    causal: bool = False
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
         c = self.config
         self.attention = MultiHeadSelfAttention(
-            model_size=c.model_size, num_heads=c.num_heads, dtype=self.dtype
+            model_size=c.model_size,
+            num_heads=c.num_heads,
+            causal=self.causal,
+            use_flash=c.use_flash_attention,
+            dtype=self.dtype,
         )
         self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
         self.ff = FeedForward(
@@ -152,8 +187,8 @@ class TransformerLayer(nn.Module):
         self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
         self.drop = nn.Dropout(c.dropout)
 
-    def __call__(self, x: jax.Array, bias: jax.Array, train: bool) -> jax.Array:
-        att = self.attention(x, bias)
+    def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool) -> jax.Array:
+        att = self.attention(x, key_mask)
         x = self.ln1(x + self.drop(att, deterministic=not train))
         ff = self.ff(x, train)
         x = self.ln2(x + self.drop(ff, deterministic=not train))
@@ -179,7 +214,9 @@ class TransformerStack(nn.Module):
     def setup(self) -> None:
         c = self.config
         self.layers = [
-            TransformerLayer(config=c, dtype=self.dtype, name=f"layer{i}")
+            TransformerLayer(
+                config=c, causal=self.causal, dtype=self.dtype, name=f"layer{i}"
+            )
             for i in range(c.num_layers)
         ]
         self.pos_table = jnp.asarray(
@@ -193,15 +230,9 @@ class TransformerStack(nn.Module):
 
     def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool) -> jax.Array:
         """x: [B, T, D]; key_mask: [B, T] 1 for valid positions."""
-        bias = jnp.where(key_mask[:, None, None, :].astype(bool), 0.0, _NEG_INF)
-        if self.causal:
-            T = x.shape[1]
-            causal = jnp.tril(jnp.ones((T, T), dtype=bool))
-            bias = bias + jnp.where(causal[None, None], 0.0, _NEG_INF)
-        bias = bias.astype(x.dtype)
         x = self._input(x)
         for layer in self.layers:
-            x = layer(x, bias, train)
+            x = layer(x, key_mask, train)
         return x
 
     def step(

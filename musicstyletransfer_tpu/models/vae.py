@@ -146,8 +146,16 @@ class StyleVAE(nn.Module):
         dt = _dtype(self.config.dtype)
         self.encoder = VAEEncoder(config=self.config.encoder_config, dtype=dt,
                                   name="encoder")
-        self.decoder = VAEDecoder(config=self.config.decoder_config, dtype=dt,
-                                  name="decoder")
+        if self.config.decoder_config.decoder_type == "lstm":
+            from .lstm import LSTMDecoder
+
+            self.decoder = LSTMDecoder(
+                config=self.config.decoder_config, dtype=dt, name="decoder"
+            )
+        else:
+            self.decoder = VAEDecoder(
+                config=self.config.decoder_config, dtype=dt, name="decoder"
+            )
 
     def __call__(
         self,

@@ -1,0 +1,228 @@
+"""Pallas TPU fused attention (flash-attention style, online softmax).
+
+The hot kernel of the transformer stacks (reference hot path:
+transformer.py:79-104, eager per-op attention with debug prints). This
+kernel fuses QK^T, masking (padding + causal), the online-softmax
+normalization, and the value contraction into one VMEM-resident pass —
+no [T, T] probability matrix ever hits HBM.
+
+Layout: per-(batch*head) grid row, q processed in blocks with the full K/V
+for that head held in VMEM (fine up to T ~ 8k at head_dim <= 64; longer
+sequences would move K/V blocks through HBM DMA — future work).
+
+Training: wrapped in jax.custom_vjp; the backward pass recomputes standard
+attention under jax.vjp (rematerialization — trades FLOPs for memory,
+which is the right trade on TPU where HBM bandwidth is the bottleneck).
+
+Numerical contract: matches ``reference_attention`` (plain XLA) to ~1e-5
+(f32); tests run the kernel in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def should_interpret() -> bool:
+    """True when compute lands on CPU (Mosaic only compiles for TPU).
+
+    Honors ``jax.default_device`` contexts (which don't change
+    ``jax.default_backend()`` — the TPU plugin keeps registry priority even
+    when computation is pinned to CPU).
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform == "cpu"
+    return jax.default_backend() == "cpu"
+
+
+def reference_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_lens: jax.Array,
+    causal: bool,
+    sm_scale: float,
+) -> jax.Array:
+    """Plain-XLA attention, the numerical ground truth and CPU fallback.
+
+    q, k, v: [B, H, T, D]; key_lens: [B] valid (prefix) key counts.
+    """
+    T = q.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm_scale
+    mask = jnp.arange(T)[None, :] < key_lens[:, None]  # [B, T_k]
+    bias = jnp.where(mask[:, None, None, :], 0.0, _NEG_INF)
+    if causal:
+        tri = jnp.tril(jnp.ones((T, T), bool))
+        bias = bias + jnp.where(tri[None, None], 0.0, _NEG_INF)
+    probs = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _flash_kernel(
+    lens_ref,  # SMEM [1, 1] valid key count for this (b, h)
+    q_ref,  # VMEM [block_q, D]
+    k_ref,  # VMEM [T, D]
+    v_ref,  # VMEM [T, D]
+    o_ref,  # VMEM [block_q, D]
+    *,
+    block_q: int,
+    block_k: int,
+    seq_len: int,
+    causal: bool,
+    sm_scale: float,
+):
+    qi = pl.program_id(1)
+    valid_len = lens_ref[0, 0]
+    q = q_ref[:] * jnp.asarray(sm_scale, q_ref.dtype)  # [bq, D], native dtype
+    D = q.shape[-1]
+
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+
+    # Dynamic upper bound: skip fully-padded k blocks, and (causal) blocks
+    # strictly above the diagonal — they contribute nothing.
+    num_k_blocks = pl.cdiv(jnp.minimum(valid_len, seq_len), block_k)
+    if causal:
+        last_q_pos = (qi + 1) * block_q
+        num_k_blocks = jnp.minimum(num_k_blocks, pl.cdiv(last_q_pos, block_k))
+
+    def body(ki, carry):
+        acc, m, l = carry
+        kblk = k_ref[pl.ds(ki * block_k, block_k), :]
+        vblk = v_ref[pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kblk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk] f32 out of the MXU
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        # Zero masked entries explicitly: when a whole block is masked,
+        # exp(s - m_new) would be exp(0) = 1, not 0.
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        scale = jnp.exp(m - m_new)
+        l_new = l * scale + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * scale + jax.lax.dot_general(
+            p.astype(vblk.dtype), vblk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc = jnp.zeros((block_q, D), jnp.float32)
+    m = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc, m, l))
+    # Fully-masked query rows (padding) have l == 0; emit zeros safely.
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_lens: jax.Array,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention. q, k, v: [B, H, T, D]; key_lens: [B].
+
+    Keys/queries beyond ``key_lens[b]`` are masked; fully-masked query rows
+    return zeros (they are dropped by downstream masking anyway).
+    """
+    return _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret)
+
+
+def _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret):
+    B, H, T, D = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (D**0.5)
+
+    block_q = min(256, _round_up(T, 8))
+    block_k = min(256, _round_up(T, 8))
+    T_pad = _round_up(T, max(block_q, block_k))
+    if T_pad != T:
+        pad = [(0, 0), (0, 0), (0, T_pad - T), (0, 0)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    BH = B * H
+    qf = q.reshape(BH, T_pad, D)
+    kf = k.reshape(BH, T_pad, D)
+    vf = v.reshape(BH, T_pad, D)
+    lens = jnp.repeat(key_lens.astype(jnp.int32), H).reshape(BH, 1, 1)
+
+    grid = (BH, T_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            block_q=block_q,
+            block_k=block_k,
+            seq_len=T_pad,
+            causal=causal,
+            sm_scale=sm_scale,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, 1, 1), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T_pad, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T_pad, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+        interpret=interpret,
+    )(lens, qf, kf, vf)
+    out = out.reshape(B, H, T_pad, D)
+    return out[:, :, :T, :]
+
+
+def _flash_fwd(q, k, v, key_lens, causal, sm_scale, interpret):
+    out = _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret)
+    return out, (q, k, v, key_lens)
+
+
+def _flash_bwd(causal, sm_scale, interpret, residuals, g):
+    q, k, v, key_lens = residuals
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+
+    def ref(q_, k_, v_):
+        return reference_attention(q_, k_, v_, key_lens, causal, sm_scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -54,6 +54,11 @@ class TrainConfig:
     logdir: str = "/tmp/out"
     log_every: int = 50  # reference: trainer.py:139
     seed: int = 0
+    # When set, a jax.profiler trace of steps [profile_start, profile_stop)
+    # is written here (the reference has no profiling at all — SURVEY.md §5.1).
+    profile_dir: Optional[str] = None
+    profile_start: int = 10
+    profile_stop: int = 20
 
 
 class Trainer:
@@ -111,6 +116,12 @@ class Trainer:
         cfg = self.config
         for epoch in range(epochs):
             for batch in dataset:
+                if cfg.profile_dir is not None:
+                    if self.progress.n_batches == cfg.profile_start:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    elif self.progress.n_batches == cfg.profile_stop:
+                        jax.profiler.stop_trace()
+                        print(f"Profiler trace written to {cfg.profile_dir}")
                 self._step(batch)
                 self.progress.n_batches += 1
 

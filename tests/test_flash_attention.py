@@ -1,0 +1,110 @@
+"""Pallas flash-attention kernel tests (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicstyletransfer_tpu.ops.flash_attention import (
+    flash_attention,
+    reference_attention,
+)
+
+
+def _inputs(B=2, H=2, T=65, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, T, D)), jnp.float32)
+    return q, k, v
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("T", [8, 65, 130])
+    def test_matches_reference(self, causal, T):
+        q, k, v = _inputs(T=T)
+        lens = jnp.asarray([T, max(T // 2, 1)], jnp.int32)
+        ref = reference_attention(q, k, v, lens, causal, 1 / np.sqrt(16))
+        out = flash_attention(q, k, v, lens, causal, None, True)
+        for b in range(2):
+            L = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(out)[b, :, :L],
+                np.asarray(ref)[b, :, :L],
+                rtol=1e-5,
+                atol=1e-5,
+            )
+
+    def test_fully_padded_rows_are_finite(self):
+        q, k, v = _inputs(T=16)
+        lens = jnp.asarray([4, 0], jnp.int32)
+        out = flash_attention(q, k, v, lens, False, None, True)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # zero-length batch row: all outputs zero
+        np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+
+    def test_gradients_match_reference(self):
+        q, k, v = _inputs(T=33)
+        lens = jnp.asarray([33, 20], jnp.int32)
+
+        def lf(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, lens, True, None, True)[:, :, :20] ** 2)
+
+        def lr(q, k, v):
+            return jnp.sum(
+                reference_attention(q, k, v, lens, True, 1 / np.sqrt(16))[:, :, :20] ** 2
+            )
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestFlashInModel:
+    def test_model_forward_matches_dense_path(self):
+        """StyleVAE with use_flash_attention must match the dense path."""
+        from musicstyletransfer_tpu.models import init_params, make_model
+        from tests.test_model import tiny_config
+
+        import dataclasses
+
+        cfg_dense = tiny_config(vocab=10, classes=3, latent=8, size=16,
+                                heads=2, layers=1)
+        tc_flash = dataclasses.replace(
+            cfg_dense.encoder_config.transformer_config, use_flash_attention=True
+        )
+        cfg_flash = dataclasses.replace(
+            cfg_dense,
+            encoder_config=dataclasses.replace(
+                cfg_dense.encoder_config, transformer_config=tc_flash
+            ),
+            decoder_config=dataclasses.replace(
+                cfg_dense.decoder_config, transformer_config=tc_flash
+            ),
+        )
+        m_dense = make_model(cfg_dense)
+        m_flash = make_model(cfg_flash)
+        params = init_params(m_dense, jax.random.key(0), max_seq_len=6)
+
+        B, L = 2, 6
+        rng = np.random.default_rng(0)
+        tokens = np.concatenate(
+            [np.full((B, 1), 1), rng.integers(3, 10, (B, L))], axis=1
+        ).astype(np.int32)
+        tokens[0, 5:] = 0  # PAD tail
+        seq_lens = jnp.asarray([5, 7], jnp.int32)
+        classes = jnp.asarray([0, 1], jnp.int32)
+
+        ld, mud, _ = m_dense.apply(
+            {"params": params}, jnp.asarray(tokens), seq_lens, classes, train=False
+        )
+        lf, muf, _ = m_flash.apply(
+            {"params": params}, jnp.asarray(tokens), seq_lens, classes, train=False
+        )
+        np.testing.assert_allclose(np.asarray(mud), np.asarray(muf), atol=1e-4)
+        # Compare logits at valid positions only.
+        np.testing.assert_allclose(
+            np.asarray(ld)[1], np.asarray(lf)[1], atol=1e-3
+        )
