@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--seed", type=int, default=0)
     tpu.add_argument("--cpu", action="store_true",
                      help="force CPU devices (tests/dev)")
+    tpu.add_argument("--use-flash-attention", action="store_true",
+                     help="Pallas fused attention in the transformer stacks")
     return parser
 
 

@@ -38,6 +38,7 @@ def create_model_config(args, dataset) -> ModelConfig:
                 num_layers=args.e_n_layers,
                 vocab_size=dataset.num_tokens(),
                 num_heads=args.e_num_heads,
+                use_flash_attention=args.use_flash_attention,
             ),
             latent_dim=args.latent_dim,
             num_classes=dataset.num_classes(),
@@ -50,6 +51,7 @@ def create_model_config(args, dataset) -> ModelConfig:
                 num_layers=args.d_n_layers,
                 vocab_size=dataset.num_tokens(),
                 num_heads=args.e_num_heads,
+                use_flash_attention=args.use_flash_attention,
             ),
             latent_dim=args.latent_dim,
             num_classes=dataset.num_classes(),

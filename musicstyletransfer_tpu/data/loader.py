@@ -14,15 +14,29 @@ from typing import Dict, List
 from ..midi.codec import EventBasedMIDIReader, Melody
 
 
+def _make_reader(use_native: bool):
+    """Prefer the C++ tokenizer (bit-identical, ~65x faster host scan);
+    fall back to the pure-Python codec when no compiler is available."""
+    if use_native:
+        try:
+            from ..midi.native import NativeMIDIReader
+
+            return NativeMIDIReader()
+        except (RuntimeError, OSError):
+            pass
+    return EventBasedMIDIReader()
+
+
 class Loader:
     def __init__(self, path: str, max_sequence_length: int,
-                 slices_per_quarter_note: float = 4):
+                 slices_per_quarter_note: float = 4,
+                 use_native: bool = True):
         self.path = path
         self.max_sequence_length = max_sequence_length
         # Vestigial in the reference's event reader too (midi_io.py:31-33);
         # kept for CLI surface parity.
         self.slices_per_quarter_note = slices_per_quarter_note
-        self.midi_reader = EventBasedMIDIReader()
+        self.midi_reader = _make_reader(use_native)
         self.melodies = self.read_melodies()
 
     def read_melodies(self) -> Dict[str, List[Melody]]:

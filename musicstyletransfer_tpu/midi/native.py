@@ -1,0 +1,153 @@
+"""ctypes binding for the native C++ MIDI tokenizer (native/midi_tokenizer.cpp).
+
+Drop-in accelerated twin of ``codec.EventBasedMIDIReader``: same
+bit-identical token streams (asserted by tests over the whole corpus), one
+pass over the file bytes with no Python object graph. Used by the corpus
+Loader when the shared library is available; falls back to the pure-Python
+codec otherwise.
+
+Build: ``make -C native`` (or it is built on demand here, once, if a
+compiler is present).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+from .codec import Melody
+from .vocab import DEFAULT_BPM
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmst_native.so")
+
+_ERRORS = {
+    -1: "not an SMF file",
+    -2: "truncated file",
+    -3: "unsupported SMF feature (SMPTE division)",
+    -4: "buffer capacity exceeded",
+    -5: "bad event byte",
+}
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_load_failed = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "midi_tokenizer.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building on demand) the native library; None if unavailable."""
+    global _lib, _lib_load_failed
+    if _lib is not None:
+        return _lib
+    if _lib_load_failed:
+        return None
+    if not os.path.exists(_LIB_PATH) and not _build():
+        _lib_load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _lib_load_failed = True
+        return None
+    lib.mst_tokenize_buffer.restype = ctypes.c_int32
+    lib.mst_tokenize_buffer.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+class NativeMIDIReader:
+    """Native-backed MIDI file -> tokenized melodies.
+
+    Same surface and semantics as ``codec.EventBasedMIDIReader``
+    (reference: midi_io.py:31-67): tracks with < 10 tokens are discarded
+    with a warning; at least one melody must survive.
+    """
+
+    MIN_TRACK_TOKENS = 10
+    MAX_TRACKS = 256
+
+    def __init__(self) -> None:
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError(
+                "native tokenizer unavailable (no compiler / build failed); "
+                "use codec.EventBasedMIDIReader"
+            )
+        self._lib = lib
+
+    def tokenize_bytes(self, buf: bytes):
+        """-> (list of per-track int32 token arrays, bpm, resolution)."""
+        cap = max(len(buf) * 2, 4096)  # tokens <= ~2 per event byte
+        out = np.empty(cap, dtype=np.int32)
+        offsets = np.empty(self.MAX_TRACKS + 1, dtype=np.int32)
+        n_tracks = ctypes.c_int32(0)
+        resolution = ctypes.c_int32(0)
+        bpm = ctypes.c_double(DEFAULT_BPM)
+        rc = self._lib.mst_tokenize_buffer(
+            buf,
+            len(buf),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.MAX_TRACKS,
+            ctypes.byref(n_tracks),
+            ctypes.byref(resolution),
+            ctypes.byref(bpm),
+        )
+        if rc < 0:
+            raise ValueError(f"native tokenizer: {_ERRORS.get(rc, rc)}")
+        nt = n_tracks.value
+        tracks = [
+            out[offsets[t] : offsets[t + 1]].copy() for t in range(nt)
+        ]
+        return tracks, bpm.value, resolution.value
+
+    def read_file(self, file_name: str) -> List[Melody]:
+        with open(file_name, "rb") as fh:
+            buf = fh.read()
+        tracks, bpm, resolution = self.tokenize_bytes(buf)
+        result: List[Melody] = []
+        for toks in tracks:
+            if len(toks) < self.MIN_TRACK_TOKENS:
+                print(
+                    f"Warning: {file_name} contains melodies of length "
+                    f"{len(toks)} < {self.MIN_TRACK_TOKENS}. Discarding"
+                )
+                continue
+            result.append(Melody(tokens=toks, bpm=bpm, resolution=resolution))
+        assert len(result) > 0, f"no usable tracks in {file_name}"
+        return result

@@ -1,0 +1,76 @@
+"""Native C++ tokenizer: bit-identical to the Python codec over the corpus."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from musicstyletransfer_tpu.midi.codec import EventBasedMIDIReader
+from musicstyletransfer_tpu.midi import smf
+
+native = pytest.importorskip("musicstyletransfer_tpu.midi.native")
+
+
+@pytest.fixture(scope="module")
+def readers():
+    if not native.available():
+        pytest.skip("native tokenizer could not be built")
+    return EventBasedMIDIReader(), native.NativeMIDIReader()
+
+
+class TestNativeTokenizer:
+    def test_corpus_bit_identical(self, readers, corpus_path):
+        py, nat = readers
+        files = sorted(glob.glob(os.path.join(corpus_path, "*", "*.mid")))
+        assert files
+        for f in files:
+            a, b = py.read_file(f), nat.read_file(f)
+            assert len(a) == len(b)
+            for ma, mb in zip(a, b):
+                np.testing.assert_array_equal(ma.tokens, mb.tokens, err_msg=f)
+                assert abs(ma.bpm - mb.bpm) < 1e-9
+                assert ma.resolution == mb.resolution
+
+    def test_velocity_quirk(self, readers, tmp_path):
+        _, nat = readers
+        track = [
+            smf.SetTempo.from_bpm(100.0),
+            smf.NoteOn(tick=0, pitch=60, velocity=100),
+            smf.NoteOff(tick=450, pitch=60, velocity=64),  # vel>0 => ON token
+            smf.NoteOn(tick=0, pitch=62, velocity=0),      # vel==0 => OFF token
+        ] + [smf.NoteOn(tick=30, pitch=p, velocity=90) for p in range(40, 50)]
+        path = str(tmp_path / "q.mid")
+        smf.write_midifile(path, smf.MidiFile(format=1, resolution=220,
+                                              tracks=[track]))
+        toks = nat.read_file(path)[0].tokens.tolist()
+        assert toks[0] == 3 + 60          # on
+        assert toks[1] == 259 + 15        # shift 450 -> bin 15
+        assert toks[2] == 3 + 60          # NoteOff vel 64 -> ON token (quirk)
+        assert toks[3] == 131 + 62        # vel-0 -> OFF token
+
+    def test_malformed_inputs(self, readers, tmp_path):
+        _, nat = readers
+        bad = str(tmp_path / "bad.mid")
+        with open(bad, "wb") as fh:
+            fh.write(b"this is not midi at all")
+        with pytest.raises(ValueError):
+            nat.read_file(bad)
+
+    def test_running_status(self, readers, tmp_path):
+        _, nat = readers
+        body = bytes(
+            [0x00, 0x90, 60, 100, 0x10, 62, 100]
+            + sum(([0x10, p, 100] for p in range(40, 50)), [])
+            + [0x00, 0xFF, 0x2F, 0x00]
+        )
+        buf = (b"MThd" + (6).to_bytes(4, "big") + (1).to_bytes(2, "big")
+               + (1).to_bytes(2, "big") + (220).to_bytes(2, "big")
+               + b"MTrk" + len(body).to_bytes(4, "big") + body)
+        p = str(tmp_path / "rs.mid")
+        with open(p, "wb") as fh:
+            fh.write(buf)
+        py, _ = readers
+        np.testing.assert_array_equal(
+            py.read_file(p)[0].tokens, nat.read_file(p)[0].tokens
+        )
