@@ -110,6 +110,36 @@ def decode_sampled(
     return final.seqs, final.scores
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def style_transfer_all_classes(
+    model: StyleVAE,
+    params,
+    tokens: jax.Array,
+    seq_lens: jax.Array,
+    max_len: int,
+    num_classes: int,
+    rng: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Transfer a batch into EVERY target class in one fused device call.
+
+    The reference loops classes on the host, re-running encode+decode per
+    class (sampler.py:93-104, with the target class written into the batch
+    so the ENCODER also sees it — semantics kept here). This tiles the
+    batch C times instead: one encode, one decode loop, C*B sequences.
+
+    Returns (seqs [C, B, max_len], scores [C, B]).
+    """
+    B = tokens.shape[0]
+    C = num_classes
+    tokens_rep = jnp.tile(tokens, (C, 1))
+    seq_lens_rep = jnp.tile(seq_lens, (C,))
+    classes_rep = jnp.repeat(jnp.arange(C, dtype=jnp.int32), B)
+    seqs, scores = sample_sequences(
+        model, params, tokens_rep, seq_lens_rep, classes_rep, max_len, rng
+    )
+    return seqs.reshape(C, B, max_len), scores.reshape(C, B)
+
+
 class _BeamLoopState(NamedTuple):
     seqs: jax.Array  # [B*K, max_len]
     scores: jax.Array  # [B, K] cumulative -log p (lower is better)

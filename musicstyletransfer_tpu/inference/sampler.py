@@ -125,17 +125,9 @@ class SamplerBase:
                 ),
                 melody_from_ids(row),
             )
+        all_sequences = self.sample_all_classes(batch, num_classes)
         for class_idx in range(num_classes):
-            # Style transfer = overwrite the class conditioning
-            # (reference: sampler.py:93-95).
-            transfer = Batch(
-                tokens=batch.tokens,
-                seq_lens=batch.seq_lens,
-                classes=np.full_like(batch.classes, class_idx),
-                labels=batch.labels,
-            )
-            sequences = self.sample(transfer)
-            for i, row in enumerate(np.asarray(sequences)):
+            for i, row in enumerate(np.asarray(all_sequences[class_idx])):
                 writer.write_to_file(
                     os.path.join(
                         output_suffix,
@@ -143,6 +135,21 @@ class SamplerBase:
                     ),
                     melody_from_ids(row),
                 )
+
+    def sample_all_classes(self, batch: Batch, num_classes: int) -> np.ndarray:
+        """[C, B, T] transfers into every class. Default: host loop with the
+        class conditioning overwritten per class (reference: sampler.py:93-95);
+        Sampling overrides this with the fused single-call path."""
+        outs = []
+        for class_idx in range(num_classes):
+            transfer = Batch(
+                tokens=batch.tokens,
+                seq_lens=batch.seq_lens,
+                classes=np.full_like(batch.classes, class_idx),
+                labels=batch.labels,
+            )
+            outs.append(self.sample(transfer))
+        return np.stack(outs, axis=0)
 
     def sample(self, batch: Batch) -> np.ndarray:
         raise NotImplementedError
@@ -165,6 +172,23 @@ class Sampling(SamplerBase):
             jnp.asarray(batch.seq_lens),
             jnp.asarray(batch.classes),
             max_len,
+            key,
+        )
+        return np.asarray(seqs)
+
+    def sample_all_classes(self, batch: Batch, num_classes: int) -> np.ndarray:
+        """One fused device call: encode + decode all C target classes."""
+        from .decode import style_transfer_all_classes
+
+        max_len = int(batch.tokens.shape[1]) * 2
+        self._rng, key = jax.random.split(self._rng)
+        seqs, _scores = style_transfer_all_classes(
+            self.model,
+            self.params,
+            jnp.asarray(batch.tokens),
+            jnp.asarray(batch.seq_lens),
+            max_len,
+            num_classes,
             key,
         )
         return np.asarray(seqs)

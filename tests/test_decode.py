@@ -164,3 +164,21 @@ class TestSamplerEndToEnd:
         for c in range(3):
             assert f"out-0.class-{c}.mid" in files
             assert f"out-1.class-{c}.mid" in files
+
+
+class TestFusedStyleTransfer:
+    def test_all_classes_one_call(self, setup):
+        from musicstyletransfer_tpu.inference.decode import (
+            style_transfer_all_classes,
+        )
+
+        cfg, model, params, tokens, seq_lens, classes = setup
+        seqs, scores = style_transfer_all_classes(
+            model, params, tokens, seq_lens, 14, 3, jax.random.key(0)
+        )
+        assert seqs.shape == (3, 2, 14)
+        assert scores.shape == (3, 2)
+        s = np.asarray(seqs)
+        assert np.all(s[:, :, 0] == SOS_ID)
+        # different target classes produce different transfers
+        assert not (np.array_equal(s[0], s[1]) and np.array_equal(s[1], s[2]))
