@@ -59,6 +59,8 @@ class TrainConfig:
     profile_dir: Optional[str] = None
     profile_start: int = 10
     profile_stop: int = 20
+    # Host->device input prefetch depth (0 disables; data/prefetch.py).
+    prefetch: int = 2
 
 
 class Trainer:
@@ -114,6 +116,12 @@ class Trainer:
         self._load_latest_checkpoint(model_folder)
 
         cfg = self.config
+        if cfg.prefetch > 0:
+            from ..data.prefetch import PrefetchingDataset
+            from ..parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+            dataset = PrefetchingDataset(dataset, cfg.prefetch, sharding)
         for epoch in range(epochs):
             for batch in dataset:
                 if cfg.profile_dir is not None:

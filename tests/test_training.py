@@ -182,3 +182,47 @@ class TestTrainLoop:
         for a, b in zip(jax.tree.leaves(restored.params),
                         jax.tree.leaves(state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPrefetch:
+    def test_order_and_content_preserved(self):
+        from musicstyletransfer_tpu.data.prefetch import prefetch_batches
+
+        mel = {"a": [Melody(tokens=np.arange(10, 40, dtype=np.int32))]}
+        ds = MelodyDataset(batch_size=2, maximum_sequence_length=4,
+                           melodies=mel, shuffle=False)
+        direct = list(ds)
+        fetched = list(prefetch_batches(iter(ds), size=2))
+        assert len(direct) == len(fetched)
+        for a, b in zip(direct, fetched):
+            np.testing.assert_array_equal(np.asarray(a.tokens),
+                                          np.asarray(b.tokens))
+            np.testing.assert_array_equal(np.asarray(a.labels),
+                                          np.asarray(b.labels))
+
+    def test_producer_errors_propagate(self):
+        from musicstyletransfer_tpu.data.prefetch import prefetch_batches
+
+        def gen():
+            yield next(iter(ToyData()))
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(prefetch_batches(gen(), size=1))
+
+    def test_trainer_uses_prefetch(self):
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(
+            batch_size=3, sampling_frequency=0, checkpoint_frequency=10**9,
+            num_checkpoints_not_improved=-1, prefetch=2, logdir="/tmp/pf-tb",
+        )
+        t = Trainer(tcfg, model, params, sampler=None)
+        import tempfile
+
+        t.fit(ToyData(), tempfile.mkdtemp(), epochs=3)
+        assert t.progress.n_batches == 3
