@@ -1,4 +1,12 @@
-from .dataset import Batch, Dataset, MelodyDataset, ToyData, load_dataset, tensorize_melodies
+from .dataset import (
+    Batch,
+    Dataset,
+    MelodyDataset,
+    ToyData,
+    device_tensorize,
+    load_dataset,
+    tensorize_melodies,
+)
 from .loader import Loader
 
 __all__ = [
@@ -9,4 +17,5 @@ __all__ = [
     "ToyData",
     "load_dataset",
     "tensorize_melodies",
+    "device_tensorize",
 ]

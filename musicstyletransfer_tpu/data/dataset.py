@@ -130,6 +130,33 @@ def tensorize_melodies(
     return tokens, seq_lens, np.asarray(classes, dtype=np.int32), labels
 
 
+def device_tensorize(chunks) -> Tuple:
+    """Jittable batched tensorization: raw PAD-padded chunks [N, L] ->
+    (tokens [N, L+1], seq_lens [N], labels [N, L+1]) on device.
+
+    The device-side half of the tokenize->tensorize pipeline: SOS prefix,
+    per-row EOS at each row's own length, PAD elsewhere — vectorized, so it
+    can run under jit/vmap and be sharded over the batch axis. Equivalent
+    to the host layout produced by ``tensorize_melodies`` (tested).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _tensorize(chunks_j):
+        n, L = chunks_j.shape
+        lens = jnp.sum(chunks_j != PAD_ID, axis=1)
+        sos = jnp.full((n, 1), SOS_ID, chunks_j.dtype)
+        tokens = jnp.concatenate([sos, chunks_j], axis=1)
+        pad_col = jnp.full((n, 1), PAD_ID, chunks_j.dtype)
+        shifted = jnp.concatenate([chunks_j, pad_col], axis=1)
+        positions = jnp.arange(L + 1)[None, :]
+        labels = jnp.where(positions == lens[:, None], EOS_ID, shifted)
+        return tokens, (lens + 1).astype(jnp.int32), labels
+
+    return _tensorize(jnp.asarray(np.asarray(chunks, dtype=np.int32)))
+
+
 class MelodyDataset(Dataset):
     """Tensorized, shuffling, statically-shaped batch source.
 

@@ -52,6 +52,18 @@ def create_train_state(
     )
 
 
+METRIC_KEYS = ("ppl", "acc", "top5_acc", "ce_loss", "kl_loss", "total_loss",
+               "grad_norm")
+
+
+def init_metric_acc() -> Dict[str, Tuple[jax.Array, jax.Array]]:
+    """Fresh on-device metric accumulators: {name: (sum, count)}."""
+    return {
+        k: (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        for k in METRIC_KEYS
+    }
+
+
 def make_train_step(
     model: StyleVAE,
     tx: optax.GradientTransformation,
@@ -60,12 +72,18 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step.
 
-    Returns step(state, tokens, seq_lens, classes, labels) ->
-    (state, metrics) where metrics is a dict of (sum, count) scalars.
+    Returns step(state, metric_acc, tokens, seq_lens, classes, labels) ->
+    (state, metric_acc') where metric_acc is a dict of on-device
+    (sum, count) scalars ACCUMULATED across steps. Passing ``None`` starts
+    from zeros (per-step metrics). Keeping accumulation inside the jitted
+    program means the hot loop never syncs with the host — metrics are
+    fetched only at log boundaries (the reference syncs per step via
+    .asscalar(), trainer.py:181-186).
     """
 
     def step_fn(
         state: TrainState,
+        metric_acc: Dict[str, Tuple[jax.Array, jax.Array]],
         tokens: jax.Array,
         seq_lens: jax.Array,
         classes: jax.Array,
@@ -101,26 +119,30 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = step_metrics(logits, labels, scalars)
         metrics["grad_norm"] = (optax.global_norm(grads), jnp.asarray(1, jnp.int32))
+        new_acc = {
+            k: (
+                metric_acc[k][0] + metrics[k][0].astype(jnp.float32),
+                metric_acc[k][1] + metrics[k][1].astype(jnp.float32),
+            )
+            for k in METRIC_KEYS
+        }
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state
         )
-        return new_state, metrics
+        return new_state, new_acc
 
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=(0,))
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    data_sh = batch_sharding(mesh) if mesh is not None else None
 
-    # Under a mesh, the caller holds a state whose params/opt_state were
-    # placed via shard_train_state(); jit propagates those shardings. The
-    # batch is placed on the data axis here so each step's host->device
-    # transfer is already partitioned.
-    data_sh = batch_sharding(mesh)
-    jitted = jax.jit(step_fn, donate_argnums=(0,))
-
-    def run(state, tokens, seq_lens, classes, labels):
-        tokens, seq_lens, classes, labels = jax.device_put(
-            (tokens, seq_lens, classes, labels), data_sh
-        )
-        return jitted(state, tokens, seq_lens, classes, labels)
+    def run(state, metric_acc, tokens, seq_lens, classes, labels):
+        if metric_acc is None:
+            metric_acc = init_metric_acc()
+        if data_sh is not None:
+            # Pre-partition the host->device transfer over the data axis.
+            tokens, seq_lens, classes, labels = jax.device_put(
+                (tokens, seq_lens, classes, labels), data_sh
+            )
+        return jitted(state, metric_acc, tokens, seq_lens, classes, labels)
 
     return run
 

@@ -89,7 +89,9 @@ class Trainer:
         )
         if mesh is not None:
             self.state = shard_train_state(self.state, mesh)
-        self.metrics = MetricAccumulator()
+        # On-device (sum, count) metric accumulators; fetched to host only
+        # at log/checkpoint boundaries so the hot loop never syncs.
+        self._metric_acc = None
         self.progress = ckpt.TrainingProgress()
         self._writer = None
 
@@ -165,14 +167,24 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _step(self, batch: Batch) -> None:
-        self.state, metrics = self.train_step(
+        self.state, self._metric_acc = self.train_step(
             self.state,
+            self._metric_acc,
             jnp.asarray(batch.tokens),
             jnp.asarray(batch.seq_lens),
             jnp.asarray(batch.classes),
             jnp.asarray(batch.labels),
         )
-        self.metrics.update(jax.device_get(metrics))
+
+    def _drain_metrics(self) -> dict:
+        """Fetch + reset the on-device accumulators (one host sync)."""
+        if self._metric_acc is None:
+            return {}
+        host = jax.device_get(self._metric_acc)
+        self._metric_acc = None
+        acc = MetricAccumulator()
+        acc.update(host)
+        return acc.get()
 
     def _eval_pass(self, validation_dataset: Dataset) -> float:
         acc = MetricAccumulator()
@@ -198,7 +210,7 @@ class Trainer:
         print(f"\nCheckpoint {self.progress.n_checkpoints} reached.")
         ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints, self.state)
         self.progress.save(model_folder)
-        self.metrics.reset()
+        self._metric_acc = None  # reset running metrics (trainer.py:210)
 
         if validation_dataset is None:
             return
@@ -243,9 +255,8 @@ class Trainer:
             self.writer.add_scalar(name, val, global_step=self.progress.n_batches)
 
     def _periodic_log(self, epoch: int, start_time: float) -> None:
-        vals = self.metrics.get()
+        vals = self._drain_metrics()
         self._write_scalars(vals)
-        self.metrics.reset()
         ups = self.progress.n_batches / max(time.time() - start_time, 1e-9)
         line = " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items()))
         print(

@@ -91,7 +91,7 @@ class TestLSTMDecoder:
         )
         first = None
         for _ in range(300):
-            state, m = step(state, *args)
+            state, m = step(state, None, *args)
             if first is None:
                 first = float(m["total_loss"][0])
         assert float(m["total_loss"][0]) < first * 0.5

@@ -76,16 +76,16 @@ class TestShardedTraining:
         # Single device reference.
         s0 = create_train_state(params, tx, jax.random.key(7))
         step0 = make_train_step(model, tx, loss_cfg)
-        s0, m0a = step0(s0, *args)
-        s0, m0b = step0(s0, *args)
+        s0, m0a = step0(s0, None, *args)
+        s0, m0b = step0(s0, None, *args)
 
         # Sharded.
         mesh = make_mesh(cpu_devices[:8], tp=tp)
         s1 = create_train_state(params, tx, jax.random.key(7))
         s1 = shard_train_state(s1, mesh)
         step1 = make_train_step(model, tx, loss_cfg, mesh=mesh)
-        s1, m1a = step1(s1, *data)
-        s1, m1b = step1(s1, *data)
+        s1, m1a = step1(s1, None, *data)
+        s1, m1b = step1(s1, None, *data)
 
         # Step-1 agreement proves forward+grad consistency; step-2 agreement
         # proves the step-1 *update* (incl. the psum-reduced grads) matched.

@@ -158,7 +158,7 @@ class TestTrainLoop:
         )
         first = None
         for i in range(300):
-            state, m = step(state, *args)
+            state, m = step(state, None, *args)
             if first is None:
                 first = float(m["total_loss"][0])
         last = float(m["total_loss"][0])
@@ -226,3 +226,22 @@ class TestPrefetch:
 
         t.fit(ToyData(), tempfile.mkdtemp(), epochs=3)
         assert t.progress.n_batches == 3
+
+
+class TestDeviceTensorizer:
+    def test_matches_host_layout(self):
+        from musicstyletransfer_tpu.data import device_tensorize
+
+        mel = {
+            "a": [Melody(tokens=np.array([5, 6], np.int32)),
+                  Melody(tokens=np.array([5, 6, 7, 8], np.int32))],
+        }
+        host_tokens, host_lens, _, host_labels = tensorize_melodies(
+            mel, max_seq_len=4
+        )
+        # raw chunks = host tokens without the SOS column
+        chunks = host_tokens[:, 1:]
+        d_tokens, d_lens, d_labels = device_tensorize(chunks)
+        np.testing.assert_array_equal(np.asarray(d_tokens), host_tokens)
+        np.testing.assert_array_equal(np.asarray(d_lens), host_lens)
+        np.testing.assert_array_equal(np.asarray(d_labels), host_labels)
