@@ -1,0 +1,89 @@
+"""Micro-batched style-transfer service CLI.
+
+One-shot mode: transfer every ``.mid`` in ``--in-dir`` into every style
+class, writing ``<name>.class-{c}.mid`` files to ``--out-samples``.
+Watch mode (``--watch``): keep polling the directory and serve new files
+as they appear (micro-batching via StyleTransferService).
+
+    python -m musicstyletransfer_tpu.cli.serve \
+        --model-output models/run1 --in-dir midis/ --out-samples out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+from ..inference.service import StyleTransferService
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-output", "-m", required=True)
+    p.add_argument("--checkpoint", "-c", type=int, default=-1)
+    p.add_argument("--in-dir", required=True)
+    p.add_argument("--out-samples", "-o", required=True)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-seq-len", type=int, default=64)
+    p.add_argument("--watch", action="store_true")
+    p.add_argument("--poll-seconds", type=float, default=1.0)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_samples, exist_ok=True)
+    svc = StyleTransferService(
+        args.model_output,
+        checkpoint=args.checkpoint,
+        batch_size=args.batch_size,
+        max_seq_len=args.max_seq_len,
+    )
+    seen = set()
+
+    def process(files):
+        batch_tokens, names = [], []
+        for f in files:
+            with open(f, "rb") as fh:
+                data = fh.read()
+            try:
+                batch_tokens.append(svc._tokens_from_midi(data))
+            except ValueError as exc:
+                print(f"skipping {f}: {exc}")
+                continue
+            names.append(os.path.splitext(os.path.basename(f))[0])
+            if len(batch_tokens) == svc.batch_size:
+                flush(batch_tokens, names)
+                batch_tokens, names = [], []
+        if batch_tokens:
+            flush(batch_tokens, names)
+
+    def flush(batch_tokens, names):
+        t0 = time.perf_counter()
+        results = svc.transfer_tokens(batch_tokens)
+        dt = (time.perf_counter() - t0) * 1e3
+        for name, result in zip(names, results):
+            for c, midi in result.midi_by_class.items():
+                out = os.path.join(args.out_samples, f"{name}.class-{c}.mid")
+                with open(out, "wb") as fh:
+                    fh.write(midi)
+        print(f"served {len(names)} files x {svc.num_classes} classes "
+              f"in {dt:.1f}ms")
+
+    while True:
+        files = [
+            f for f in sorted(glob.glob(os.path.join(args.in_dir, "*.mid")))
+            if f not in seen
+        ]
+        seen.update(files)
+        if files:
+            process(files)
+        if not args.watch:
+            break
+        time.sleep(args.poll_seconds)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Multi-style micro-batched transfer service: continuous encode/swap/decode.
+
+BASELINE.json config #5 ("multi-style micro-batched transfer service:
+continuous encode/swap/decode on a v5e slice"). Requests (MIDI bytes or
+token arrays) are collected into fixed-shape micro-batches — filled up to
+``batch_size`` or flushed after ``max_wait_ms`` — and served by ONE jitted
+fused call per batch (encode + decode every target class). Fixed shapes
+mean exactly one compilation; partial batches are padded with the first
+request (TPU static-shape idiom) and the padding rows discarded.
+
+Programmatic use:
+
+    svc = StyleTransferService(model_folder, checkpoint=-1)
+    results = svc.submit_midi(midi_bytes)      # blocking convenience call
+    # or svc.start(); svc.enqueue(...); svc.stop() for the threaded loop
+
+CLI (one-shot directory mode):
+    python -m musicstyletransfer_tpu.cli.serve --model-output m/ \
+        --in-dir midis/ --out-samples out/
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..midi import smf
+from ..midi.codec import MelodyWriter, melody_from_ids, tokenize_track
+from ..midi.vocab import PAD_ID, SOS_ID
+from .decode import style_transfer_all_classes
+from .sampler import load_inference_model
+
+
+@dataclasses.dataclass
+class TransferResult:
+    """Per-request result: one output MIDI per target class."""
+
+    midi_by_class: Dict[int, bytes]
+    tokens_by_class: Dict[int, np.ndarray]
+
+
+class StyleTransferService:
+    def __init__(
+        self,
+        model_folder: str,
+        checkpoint: Optional[int] = -1,
+        batch_size: int = 32,
+        max_seq_len: int = 64,
+        max_wait_ms: float = 10.0,
+        seed: int = 0,
+    ):
+        self.model, self.params = load_inference_model(
+            model_folder, checkpoint, max_seq_len
+        )
+        self.num_classes = self.model.config.decoder_config.num_classes
+        self.batch_size = batch_size
+        self.max_seq_len = max_seq_len
+        self.max_wait_ms = max_wait_ms
+        self._rng = jax.random.key(seed)
+        self._writer = MelodyWriter()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+
+    # -- request preparation -------------------------------------------
+
+    def _tokens_from_midi(self, midi_bytes: bytes) -> np.ndarray:
+        mf = smf.parse_midifile(midi_bytes)
+        for track in mf.tracks:
+            toks = tokenize_track(track)
+            if len(toks):
+                return toks[: self.max_seq_len]
+        raise ValueError("no note events in MIDI request")
+
+    def _make_batch(self, token_lists: List[np.ndarray]):
+        n = len(token_lists)
+        L = self.max_seq_len
+        tokens = np.full((self.batch_size, L + 1), PAD_ID, np.int32)
+        tokens[:, 0] = SOS_ID
+        seq_lens = np.ones((self.batch_size,), np.int32)
+        for i in range(self.batch_size):
+            toks = token_lists[i] if i < n else token_lists[0]  # pad w/ first
+            m = min(len(toks), L)
+            tokens[i, 1 : m + 1] = toks[:m]
+            seq_lens[i] = m + 1
+        return tokens, seq_lens
+
+    # -- core fused call ------------------------------------------------
+
+    def transfer_tokens(self, token_lists: List[np.ndarray]) -> List[TransferResult]:
+        """Run one fused micro-batch; returns a result per request."""
+        assert 0 < len(token_lists) <= self.batch_size
+        tokens, seq_lens = self._make_batch(token_lists)
+        self._rng, key = jax.random.split(self._rng)
+        seqs, _scores = style_transfer_all_classes(
+            self.model,
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(seq_lens),
+            2 * (self.max_seq_len + 1),
+            self.num_classes,
+            key,
+        )
+        seqs = np.asarray(seqs)  # [C, B, T]
+        results = []
+        for i in range(len(token_lists)):
+            midi_by_class, tokens_by_class = {}, {}
+            for c in range(self.num_classes):
+                melody = melody_from_ids(seqs[c, i])
+                tokens_by_class[c] = melody.tokens
+                midi_by_class[c] = smf.dump_midifile(
+                    self._writer.to_midifile(melody)
+                )
+            results.append(TransferResult(midi_by_class, tokens_by_class))
+        return results
+
+    def submit_midi(self, midi_bytes: bytes) -> TransferResult:
+        """Blocking single-request convenience path."""
+        return self.transfer_tokens([self._tokens_from_midi(midi_bytes)])[0]
+
+    # -- continuous threaded loop ---------------------------------------
+
+    def start(self) -> None:
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def enqueue(self, midi_bytes: bytes, callback) -> None:
+        """Queue a request; ``callback(TransferResult)`` fires when served."""
+        self._queue.put((self._tokens_from_midi(midi_bytes), callback))
+
+    def _loop(self) -> None:
+        while self._running:
+            batch: List = []
+            try:
+                batch.append(self._queue.get(timeout=0.05))
+            except queue.Empty:
+                continue
+            deadline = time.perf_counter() + self.max_wait_ms / 1e3
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            results = self.transfer_tokens([t for t, _ in batch])
+            for (_, callback), result in zip(batch, results):
+                callback(result)

@@ -1,0 +1,93 @@
+"""Micro-batched style-transfer service tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from musicstyletransfer_tpu.midi import smf
+from musicstyletransfer_tpu.midi.codec import Melody, MelodyWriter
+from musicstyletransfer_tpu.midi.vocab import note_on_id, timeshift_id
+from tests.test_model import tiny_config
+
+
+@pytest.fixture(scope="module")
+def model_folder(tmp_path_factory):
+    from musicstyletransfer_tpu.models import init_params, make_model
+    from musicstyletransfer_tpu.training import (
+        OptimizerConfig,
+        build_optimizer,
+        create_train_state,
+        save_checkpoint,
+    )
+
+    folder = str(tmp_path_factory.mktemp("svc-model"))
+    cfg = tiny_config(vocab=293, classes=3, latent=8, size=16, heads=2,
+                      layers=1)
+    cfg.save(os.path.join(folder, "config"))
+    model = make_model(cfg)
+    params = init_params(model, jax.random.key(0), max_seq_len=8)
+    tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+    save_checkpoint(folder, 1, create_train_state(params, tx, jax.random.key(0)))
+    return folder
+
+
+def _midi_bytes(pitches=(60, 62, 64)):
+    tokens = []
+    for p in pitches:
+        tokens += [note_on_id(p), timeshift_id(120), note_on_id(p)]
+    melody = Melody(tokens=np.asarray(tokens, np.int32))
+    return smf.dump_midifile(MelodyWriter().to_midifile(melody))
+
+
+class TestService:
+    def test_submit_midi(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8)
+        result = svc.submit_midi(_midi_bytes())
+        assert set(result.midi_by_class) == {0, 1, 2}
+        for c, midi in result.midi_by_class.items():
+            mf = smf.parse_midifile(midi)  # valid SMF out
+            assert mf.resolution > 0
+
+    def test_micro_batch_partial_fill(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8)
+        toks = [svc._tokens_from_midi(_midi_bytes((60 + i,))) for i in range(2)]
+        results = svc.transfer_tokens(toks)
+        assert len(results) == 2  # padding rows dropped
+
+    def test_threaded_loop(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8, max_wait_ms=20)
+        svc.start()
+        got = []
+        try:
+            for i in range(3):
+                svc.enqueue(_midi_bytes((60 + i,)), got.append)
+            deadline = __import__("time").time() + 60
+            while len(got) < 3 and __import__("time").time() < deadline:
+                __import__("time").sleep(0.05)
+        finally:
+            svc.stop()
+        assert len(got) == 3
+        assert all(set(r.midi_by_class) == {0, 1, 2} for r in got)
+
+    def test_rejects_empty_midi(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=2,
+                                   max_seq_len=8)
+        track = [smf.SetTempo.from_bpm(120.0), smf.EndOfTrack(tick=1)]
+        empty = smf.dump_midifile(
+            smf.MidiFile(format=1, resolution=220, tracks=[track])
+        )
+        with pytest.raises(ValueError, match="no note events"):
+            svc.submit_midi(empty)
