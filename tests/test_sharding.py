@@ -119,3 +119,41 @@ class TestShardedTraining:
         # 16x64 kernel split over 2 model shards -> each shard 16x32
         shard_shapes = {s.data.shape for s in placed.addressable_shards}
         assert shard_shapes == {(16, 32)}
+
+
+class TestShardedInference:
+    def test_decode_with_sharded_batch(self, cpu_devices):
+        """The jitted decode loop runs with the batch sharded over the data
+        axis (scale-out inference path) and matches unsharded output."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from musicstyletransfer_tpu.inference.decode import sample_sequences
+        from musicstyletransfer_tpu.midi.vocab import SOS_ID
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=6)
+        B, L = 8, 6
+        tokens = np.ones((B, L + 1), np.int32)
+        tokens[:, 0] = SOS_ID
+        seq_lens = np.full((B,), L + 1, np.int32)
+        classes = np.zeros((B,), np.int32)
+
+        ref, _ = sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1),
+        )
+
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        data_sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        sharded_params = jax.device_put(params, repl)
+        t_s = jax.device_put(jnp.asarray(tokens), data_sh)
+        l_s = jax.device_put(jnp.asarray(seq_lens), data_sh)
+        c_s = jax.device_put(jnp.asarray(classes), data_sh)
+        out, _ = sample_sequences(
+            model, sharded_params, t_s, l_s, c_s, 10, jax.random.key(1)
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
