@@ -50,13 +50,14 @@ def load_inference_model(
 
 def get_sampler(type: str, model_folder: str, checkpoint: Optional[int], args):
     """Sampler factory (reference: sampler.py:41-53)."""
+    visualize = getattr(args, "visualize_samples", False)
     if type == "sampling":
         return Sampling(model_folder, checkpoint, verbose=args.verbose,
-                        seed=getattr(args, "seed", 0))
+                        seed=getattr(args, "seed", 0), visualize=visualize)
     if type == "beam-search":
         return BeamSearchSampler(
             model_folder, checkpoint, beam_size=args.beam_size,
-            verbose=args.verbose,
+            verbose=args.verbose, visualize=visualize,
         )
     raise ValueError(f"Sampler {type} is not implemented")
 
@@ -70,12 +71,14 @@ class SamplerBase:
         checkpoint: Optional[int],
         verbose: bool = False,
         max_seq_len: int = 64,
+        visualize: bool = False,
     ):
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
         )
         self.model_folder = model_folder
         self.verbose = verbose
+        self.visualize = visualize
 
     def reload_checkpoint(self, checkpoint: int) -> None:
         self.model, self.params = load_inference_model(
@@ -119,22 +122,30 @@ class SamplerBase:
         index_offset: int,
     ) -> None:
         for i, row in enumerate(np.asarray(batch.tokens)):
-            writer.write_to_file(
-                os.path.join(
-                    output_suffix, f"out-{index_offset + i}.original.mid"
-                ),
-                melody_from_ids(row),
+            self._write_melody(
+                writer, melody_from_ids(row),
+                os.path.join(output_suffix,
+                             f"out-{index_offset + i}.original.mid"),
             )
         all_sequences = self.sample_all_classes(batch, num_classes)
         for class_idx in range(num_classes):
             for i, row in enumerate(np.asarray(all_sequences[class_idx])):
-                writer.write_to_file(
+                self._write_melody(
+                    writer, melody_from_ids(row),
                     os.path.join(
                         output_suffix,
                         f"out-{index_offset + i}.class-{class_idx}.mid",
                     ),
-                    melody_from_ids(row),
                 )
+
+    def _write_melody(self, writer, melody, path: str) -> None:
+        writer.write_to_file(path, melody)
+        if self.visualize and len(melody):
+            # Piano-roll PNG next to each MIDI (--visualize-samples; the
+            # reference's visualize path was stale, utils.py:52-61).
+            from ..utils import visualize_melody
+
+            visualize_melody(melody, path + ".png")
 
     def sample_all_classes(self, batch: Batch, num_classes: int) -> np.ndarray:
         """[C, B, T] transfers into every class. Default: host loop with the

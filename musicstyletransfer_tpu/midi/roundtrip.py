@@ -1,0 +1,32 @@
+"""Manual tokenize->detokenize round-trip check CLI.
+
+Working equivalent of the reference's only "test"
+(tests/test_midi_reader.py:1-18, which is broken as written — it passes a
+kwarg the constructor doesn't take): reads a MIDI file, re-writes it as
+``<file>_rewrite.mid``, and prints the melody length.
+
+Usage: ``python -m musicstyletransfer_tpu.midi.roundtrip file.mid``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .codec import EventBasedMIDIReader, MelodyWriter
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("file")
+    args = parser.parse_args(argv)
+
+    melodies = EventBasedMIDIReader().read_file(args.file)
+    writer = MelodyWriter()
+    out = args.file + "_rewrite.mid"
+    writer.write_to_file(out, melodies[0])
+    print(f"Melody length: {len(melodies[0])}")
+    print(f"Rewrote to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     loss_config: LossConfig,
     mesh: Optional[Mesh] = None,
+    per_param_grad_norms: bool = False,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -119,12 +120,26 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = step_metrics(logits, labels, scalars)
         metrics["grad_norm"] = (optax.global_norm(grads), jnp.asarray(1, jnp.int32))
+        if per_param_grad_norms:
+            # Per-parameter gradient norms (reference: trainer.py:257-270).
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            for path, g in flat:
+                name = "grad_norm/" + "/".join(
+                    str(getattr(k, "key", k)) for k in path
+                )
+                metrics[name] = (
+                    jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32)))),
+                    jnp.asarray(1, jnp.int32),
+                )
+        keys = metrics.keys()
         new_acc = {
             k: (
-                metric_acc[k][0] + metrics[k][0].astype(jnp.float32),
-                metric_acc[k][1] + metrics[k][1].astype(jnp.float32),
+                (metric_acc[k][0] if k in metric_acc else 0.0)
+                + metrics[k][0].astype(jnp.float32),
+                (metric_acc[k][1] if k in metric_acc else 0.0)
+                + metrics[k][1].astype(jnp.float32),
             )
-            for k in METRIC_KEYS
+            for k in keys
         }
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state
@@ -136,7 +151,10 @@ def make_train_step(
 
     def run(state, metric_acc, tokens, seq_lens, classes, labels):
         if metric_acc is None:
-            metric_acc = init_metric_acc()
+            # Missing keys are treated as zero inside step_fn, so an empty
+            # dict starts a fresh accumulation period (the structure grows
+            # once on the first step; one extra compile).
+            metric_acc = {}
         if data_sh is not None:
             # Pre-partition the host->device transfer over the data axis.
             tokens, seq_lens, classes, labels = jax.device_put(

@@ -61,6 +61,8 @@ class TrainConfig:
     profile_stop: int = 20
     # Host->device input prefetch depth (0 disables; data/prefetch.py).
     prefetch: int = 2
+    # Per-parameter gradient-norm TB scalars (reference: trainer.py:257-270).
+    log_param_grad_norms: bool = False
 
 
 class Trainer:
@@ -82,7 +84,10 @@ class Trainer:
             kl_weight=config.kl_loss_weight,
             label_smoothing=config.label_smoothing,
         )
-        self.train_step = make_train_step(model, self.tx, loss_cfg, mesh=mesh)
+        self.train_step = make_train_step(
+            model, self.tx, loss_cfg, mesh=mesh,
+            per_param_grad_norms=config.log_param_grad_norms,
+        )
         self.eval_step = make_eval_step(model, loss_cfg)
         self.state = create_train_state(
             params, self.tx, jax.random.key(config.seed)

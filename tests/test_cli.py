@@ -1,0 +1,43 @@
+"""CLI surface tests: flag parity with the reference (config.py:19-70)."""
+
+from musicstyletransfer_tpu.cli.flags import get_config
+
+
+class TestFlagParity:
+    REFERENCE_FLAGS = [
+        "--e-n-layers", "2", "--e-rnn-hidden-dim", "256",
+        "--e-emb-hidden-dim", "256", "--e-dropout", "0.2",
+        "--e-num-heads", "8", "--latent-dim", "256",
+        "--d-n-layers", "1", "--d-rnn-hidden-dim", "128", "--d-dropout", "0.2",
+        "--batch-size", "32", "--max-seq-len", "64",
+        "--slices-per-quarter-note", "4", "--data", "d",
+        "--validation-data", "v", "--minimum-pattern-length", "16",
+        "--pattern-identifier", "recurring",
+        "--epochs", "10000", "--learning-rate", "0.0003",
+        "--optimizer", "adam", "--optimizer-params", "clip_gradient:1.0",
+        "--validation-split", "0.0", "--kl-loss", "1.0",
+        "--label-smoothing", "0.0", "--negative-label-downscaling",
+        "--beam-size", "5", "--sampling-type", "sampling",
+        "--load-checkpoint", "1", "--checkpoint-frequency", "1000",
+        "--sampling-frequency", "2000", "--num-checkpoints-not-improved", "32",
+        "--out-samples", "o", "--model-output", "m", "--checkpoint", "-1",
+        "--gpu", "--toy", "--visualize-samples", "--verbose",
+    ]
+
+    def test_every_reference_flag_parses(self):
+        args = get_config(self.REFERENCE_FLAGS)
+        assert args.e_rnn_hidden_dim == 256
+        assert args.optimizer_params == "clip_gradient:1.0"
+        assert args.num_checkpoints_not_improved == 32
+        assert args.gpu and args.toy and args.visualize_samples
+
+    def test_unknown_flags_tolerated(self):
+        # parse_known_args semantics (reference: config.py:73-75)
+        args = get_config(["--batch-size", "4", "--some-future-flag", "x"])
+        assert args.batch_size == 4
+
+    def test_short_flags(self):
+        args = get_config(["-o", "out", "-m", "models", "-c", "7"])
+        assert args.out_samples == "out"
+        assert args.model_output == "models"
+        assert args.checkpoint == 7

@@ -245,3 +245,29 @@ class TestDeviceTensorizer:
         np.testing.assert_array_equal(np.asarray(d_tokens), host_tokens)
         np.testing.assert_array_equal(np.asarray(d_lens), host_lens)
         np.testing.assert_array_equal(np.asarray(d_labels), host_labels)
+
+
+class TestPerParamGradNorms:
+    def test_flag_produces_per_leaf_keys(self):
+        from musicstyletransfer_tpu.training import (
+            LossConfig, OptimizerConfig, build_optimizer, create_train_state,
+            make_train_step,
+        )
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        state = create_train_state(params, tx, jax.random.key(1))
+        step = make_train_step(model, tx, LossConfig(), per_param_grad_norms=True)
+        batch = next(iter(ToyData()))
+        args = tuple(jnp.asarray(a) for a in
+                     (batch.tokens, batch.seq_lens, batch.classes, batch.labels))
+        state, m = step(state, None, *args)
+        state, m = step(state, m, *args)  # accumulation across steps works
+        per_param = [k for k in m if k.startswith("grad_norm/")]
+        assert len(per_param) > 10
+        assert any("encoder" in k for k in per_param)
+        for k in per_param:
+            assert float(m[k][1]) == 2.0  # two steps accumulated
