@@ -73,6 +73,7 @@ def _flash_kernel(
     k_ref,  # VMEM [T, D]
     v_ref,  # VMEM [T, D]
     o_ref,  # VMEM [block_q, D]
+    lse_ref,  # VMEM [block_q, 1] logsumexp residual for the backward pass
     *,
     block_q: int,
     block_k: int,
@@ -131,6 +132,7 @@ def _flash_kernel(
     acc, m, l = jax.lax.fori_loop(0, num_k_blocks, body, (acc, m, l))
     # Fully-masked query rows (padding) have l == 0; emit zeros safely.
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -154,13 +156,16 @@ def flash_attention(
     Keys/queries beyond ``key_lens[b]`` are masked; fully-masked query rows
     return zeros (they are dropped by downstream masking anyway).
     """
-    return _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret)
-
-
-def _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret):
-    B, H, T, D = q.shape
     if sm_scale is None:
-        sm_scale = 1.0 / (D**0.5)
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    out, _lse = _flash_forward_with_lse(
+        q, k, v, key_lens, causal, sm_scale, interpret
+    )
+    return out
+
+
+def _flash_forward_with_lse(q, k, v, key_lens, causal, sm_scale, interpret):
+    B, H, T, D = q.shape
 
     block_q = min(256, _round_up(T, 8))
     block_k = min(256, _round_up(T, 8))
@@ -198,30 +203,242 @@ def _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret):
             pl.BlockSpec((None, T_pad, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(lens, qf, kf, vf)
-    out = out.reshape(B, H, T_pad, D)
-    return out[:, :, :T, :]
+    out, lse = out
+    out = out.reshape(B, H, T_pad, D)[:, :, :T, :]
+    lse = lse.reshape(B, H, T_pad)[:, :, :T]
+    return out, lse
+
+
+def _dq_kernel(
+    lens_ref,  # SMEM [1, 1]
+    q_ref,  # VMEM [block_q, D]
+    do_ref,  # VMEM [block_q, D]
+    lse_ref,  # VMEM [block_q, 1]
+    delta_ref,  # VMEM [block_q, 1]  rowsum(dO * O)
+    k_ref,  # VMEM [T, D]
+    v_ref,  # VMEM [T, D]
+    dq_ref,  # VMEM [block_q, D]
+    *,
+    block_q: int,
+    block_k: int,
+    seq_len: int,
+    causal: bool,
+    sm_scale: float,
+):
+    """dQ = scale * sum_k (P * (dO V^T - Delta)) K, blockwise over k."""
+    qi = pl.program_id(1)
+    valid_len = lens_ref[0, 0]
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+    D = q.shape[-1]
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+
+    num_k_blocks = pl.cdiv(jnp.minimum(valid_len, seq_len), block_k)
+    if causal:
+        num_k_blocks = jnp.minimum(
+            num_k_blocks, pl.cdiv((qi + 1) * block_q, block_k)
+        )
+
+    def body(ki, dq):
+        kblk = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        vblk = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, vblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(
+        0, num_k_blocks, body, jnp.zeros((block_q, D), jnp.float32)
+    )
+    dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    lens_ref,  # SMEM [1, 1]
+    k_ref,  # VMEM [block_k, D]
+    v_ref,  # VMEM [block_k, D]
+    q_ref,  # VMEM [T, D]
+    do_ref,  # VMEM [T, D]
+    lse_ref,  # VMEM [T, 1]
+    delta_ref,  # VMEM [T, 1]
+    dk_ref,  # VMEM [block_k, D]
+    dv_ref,  # VMEM [block_k, D]
+    *,
+    block_q: int,
+    block_k: int,
+    seq_len: int,
+    causal: bool,
+    sm_scale: float,
+):
+    """dK = scale * sum_q (P * (dO V^T - Delta))^T Q;  dV = sum_q P^T dO."""
+    ki = pl.program_id(1)
+    valid_len = lens_ref[0, 0]
+    kblk = k_ref[:].astype(jnp.float32)
+    vblk = v_ref[:].astype(jnp.float32)
+    D = kblk.shape[-1]
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+
+    num_q_blocks = seq_len // block_q
+    # Causal: query blocks strictly before this key block contribute nothing.
+    start_q = (ki * block_k) // block_q if causal else 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        qblk = q_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        doblk = do_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(qi * block_q, block_q), :]
+        delta = delta_ref[pl.ds(qi * block_q, block_q), :]
+        s = jax.lax.dot_general(
+            qblk * sm_scale, kblk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        mask = k_pos < valid_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        # Also mask padded query rows: their lse is garbage (-1e30).
+        mask = mask & (q_pos < valid_len)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv_new = dv + jax.lax.dot_general(
+            p, doblk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            doblk, vblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(
+            ds, qblk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_new, dv_new
+
+    dk, dv = jax.lax.fori_loop(
+        start_q, num_q_blocks, body,
+        (jnp.zeros((block_k, D), jnp.float32),
+         jnp.zeros((block_k, D), jnp.float32)),
+    )
+    dk_ref[:] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, key_lens, lse, out, g, causal, sm_scale,
+                    interpret):
+    B, H, T, D = q.shape
+    block_q = min(256, _round_up(T, 8))
+    block_k = block_q
+    T_pad = _round_up(T, block_q)
+    if T_pad != T:
+        pad = [(0, 0), (0, 0), (0, T_pad - T), (0, 0)]
+        q, k, v, out, g = (jnp.pad(x, pad) for x in (q, k, v, out, g))
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, T_pad - T)],
+                      constant_values=_NEG_INF)
+
+    BH = B * H
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    qf, kf, vf, dof = (x.reshape(BH, T_pad, D) for x in (q, k, v, g))
+    lsef = lse.reshape(BH, T_pad, 1)
+    deltaf = delta.reshape(BH, T_pad, 1)
+    lens = jnp.repeat(key_lens.astype(jnp.int32), H).reshape(BH, 1, 1)
+
+    kernel_args = dict(
+        block_q=block_q, block_k=block_k, seq_len=T_pad, causal=causal,
+        sm_scale=sm_scale,
+    )
+    row_spec = lambda bs: pl.BlockSpec((None, bs, D), lambda bh, i: (bh, i, 0),
+                                       memory_space=pltpu.VMEM)
+    col1_spec = lambda bs: pl.BlockSpec((None, bs, 1), lambda bh, i: (bh, i, 0),
+                                        memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((None, T_pad, D), lambda bh, i: (bh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    full1_spec = pl.BlockSpec((None, T_pad, 1), lambda bh, i: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+    lens_spec = pl.BlockSpec((None, 1, 1), lambda bh, i: (bh, 0, 0),
+                             memory_space=pltpu.SMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, **kernel_args),
+        grid=(BH, T_pad // block_q),
+        in_specs=[lens_spec, row_spec(block_q), row_spec(block_q),
+                  col1_spec(block_q), col1_spec(block_q), full_spec, full_spec],
+        out_specs=row_spec(block_q),
+        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+        interpret=interpret,
+    )(lens, qf, dof, lsef, deltaf, kf, vf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, **kernel_args),
+        grid=(BH, T_pad // block_k),
+        in_specs=[lens_spec, row_spec(block_k), row_spec(block_k),
+                  full_spec, full_spec, full1_spec, full1_spec],
+        out_specs=[row_spec(block_k), row_spec(block_k)],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+        ],
+        interpret=interpret,
+    )(lens, kf, vf, qf, dof, lsef, deltaf)
+
+    def unpad(x):
+        return x.reshape(B, H, T_pad, D)[:, :, :T, :]
+
+    return unpad(dq), unpad(dk), unpad(dv)
 
 
 def _flash_fwd(q, k, v, key_lens, causal, sm_scale, interpret):
-    out = _flash_forward(q, k, v, key_lens, causal, sm_scale, interpret)
-    return out, (q, k, v, key_lens)
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    out, lse = _flash_forward_with_lse(
+        q, k, v, key_lens, causal, sm_scale, interpret
+    )
+    return out, (q, k, v, key_lens, lse, out)
 
 
 def _flash_bwd(causal, sm_scale, interpret, residuals, g):
-    q, k, v, key_lens = residuals
+    q, k, v, key_lens, lse, out = residuals
     if sm_scale is None:
         sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-
-    def ref(q_, k_, v_):
-        return reference_attention(q_, k_, v_, key_lens, causal, sm_scale)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = _flash_backward(
+        q, k, v, key_lens, lse, out, g, causal, sm_scale, interpret
+    )
     return dq, dk, dv, None
 
 

@@ -12,6 +12,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# Persist XLA compilations across test runs (the suite is compile-bound).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/mst-jax-cache-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 REFERENCE_CORPUS = "/root/reference/work/data/guitar_bass"
 
 

@@ -108,3 +108,42 @@ class TestFlashInModel:
         np.testing.assert_allclose(
             np.asarray(ld)[1], np.asarray(lf)[1], atol=1e-3
         )
+
+
+class TestFlashBackwardPallas:
+    """The backward pass is its own pair of Pallas kernels (dq, dk/dv)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("T", [16, 130, 300])
+    def test_grads_vs_reference(self, causal, T):
+        q, k, v = _inputs(T=T, D=16)
+        lens = jnp.asarray([T, max(T * 2 // 3, 1)], jnp.int32)
+        Lv = int(lens[1])
+
+        def lf(q, k, v):
+            o = flash_attention(q, k, v, lens, causal, None, True)
+            return jnp.sum(jnp.cos(o[:, :, :Lv]) ** 2)
+
+        def lr(q, k, v):
+            o = reference_attention(q, k, v, lens, causal, 1 / np.sqrt(16))
+            return jnp.sum(jnp.cos(o[:, :, :Lv]) ** 2)
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4,
+                err_msg=f"d{name} causal={causal} T={T}",
+            )
+
+    def test_zero_length_rows_give_zero_grads(self):
+        q, k, v = _inputs(T=16)
+        lens = jnp.asarray([8, 0], jnp.int32)
+
+        def lf(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, lens, True, None, True))
+
+        gq, gk, gv = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        assert np.all(np.isfinite(np.asarray(gq)))
+        np.testing.assert_array_equal(np.asarray(gk)[1], 0.0)
+        np.testing.assert_array_equal(np.asarray(gv)[1], 0.0)
