@@ -88,6 +88,10 @@ class TransformerConfig(Config):
     ffn_multiplier: int = 4
     max_positions: int = 10000  # positional table size (transformer.py:217)
     use_flash_attention: bool = False  # Pallas fused attention on TPU
+    # Sequence parallelism: constrain activations to shard the time axis
+    # over the mesh's "model" axis between blocks (GSPMD inserts the
+    # all-gathers around attention). No-op off-mesh.
+    sequence_sharding: bool = False
 
 
 @register_config

@@ -228,11 +228,30 @@ class TransformerStack(nn.Module):
         scale = jnp.sqrt(jnp.asarray(self.config.model_size, dtype=x.dtype))
         return scale * x + self.pos_table[:T]
 
+    def _seq_shard(self, x: jax.Array) -> jax.Array:
+        """Sequence-parallel activation constraint (config.sequence_sharding):
+        shard [B, T, D] as ("data", "model", None) so LN/FFN/dropout regions
+        compute on T/tp slices; GSPMD all-gathers around attention."""
+        if not self.config.sequence_sharding:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, current_mesh
+
+        mesh = current_mesh()
+        if mesh is None or AXIS_MODEL not in mesh.shape:
+            return x
+        if x.shape[1] % mesh.shape[AXIS_MODEL] != 0:
+            return x  # time axis must divide the model axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(AXIS_DATA, AXIS_MODEL, None))
+        )
+
     def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool) -> jax.Array:
         """x: [B, T, D]; key_mask: [B, T] 1 for valid positions."""
-        x = self._input(x)
+        x = self._seq_shard(self._input(x))
         for layer in self.layers:
-            x = layer(x, key_mask, train)
+            x = self._seq_shard(layer(x, key_mask, train))
         return x
 
     def step(

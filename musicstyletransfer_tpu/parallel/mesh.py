@@ -22,6 +22,28 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 AXIS_DATA = "data"
 AXIS_MODEL = "model"
 
+# Current-mesh registry: model code (e.g. the sequence-sharding constraint
+# in TransformerStack) needs a concrete Mesh to build NamedShardings at
+# trace time; the train step sets it while tracing.
+import contextlib as _contextlib
+import threading as _threading
+
+_MESH_TLS = _threading.local()
+
+
+@_contextlib.contextmanager
+def use_mesh(mesh: "Mesh"):
+    prev = getattr(_MESH_TLS, "mesh", None)
+    _MESH_TLS.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _MESH_TLS.mesh = prev
+
+
+def current_mesh():
+    return getattr(_MESH_TLS, "mesh", None)
+
 
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,

@@ -160,6 +160,14 @@ def make_train_step(
             tokens, seq_lens, classes, labels = jax.device_put(
                 (tokens, seq_lens, classes, labels), data_sh
             )
+        if mesh is not None:
+            # Expose the mesh to trace-time sharding constraints
+            # (e.g. sequence parallelism in TransformerStack).
+            from ..parallel.mesh import use_mesh
+
+            with use_mesh(mesh):
+                return jitted(state, metric_acc, tokens, seq_lens, classes,
+                              labels)
         return jitted(state, metric_acc, tokens, seq_lens, classes, labels)
 
     return run

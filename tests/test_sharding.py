@@ -157,3 +157,50 @@ class TestShardedInference:
             model, sharded_params, t_s, l_s, c_s, 10, jax.random.key(1)
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+class TestSequenceSharding:
+    def test_sp_matches_unsharded(self, cpu_devices):
+        """sequence_sharding constraints must not change the numbers."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from musicstyletransfer_tpu.training import (
+            LossConfig, OptimizerConfig, build_optimizer, create_train_state,
+        )
+
+        base = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                           layers=1)
+        tc_sp = dataclasses.replace(
+            base.encoder_config.transformer_config, sequence_sharding=True
+        )
+        cfg_sp = dataclasses.replace(
+            base,
+            encoder_config=dataclasses.replace(
+                base.encoder_config, transformer_config=tc_sp
+            ),
+            decoder_config=dataclasses.replace(
+                base.decoder_config, transformer_config=tc_sp
+            ),
+        )
+        m0 = make_model(base)
+        m1 = make_model(cfg_sp)
+        params = init_params(m0, jax.random.key(0), max_seq_len=6)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        loss_cfg = LossConfig()
+        data = _batch(B=8, L=6)
+
+        s0 = create_train_state(params, tx, jax.random.key(7))
+        step0 = make_train_step(m0, tx, loss_cfg)
+        s0, a0 = step0(s0, None, *(jnp.asarray(x) for x in data))
+
+        mesh = make_mesh(cpu_devices[:8], tp=2)
+        s1 = create_train_state(params, tx, jax.random.key(7))
+        s1 = shard_train_state(s1, mesh)
+        step1 = make_train_step(m1, tx, loss_cfg, mesh=mesh)
+        s1, a1 = step1(s1, None, *data)
+
+        np.testing.assert_allclose(
+            float(a0["total_loss"][0]), float(a1["total_loss"][0]), rtol=1e-5
+        )
