@@ -44,7 +44,20 @@ def build_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
     if "clip_global_norm" in extra:
         transforms.append(optax.clip_by_global_norm(extra.pop("clip_global_norm")))
 
+    # Optional schedule via the same "k:v" extras:
+    #   warmup_steps:N            linear warmup to the peak lr
+    #   decay_steps:N             cosine decay to ~0 after warmup
     lr = config.learning_rate
+    warmup = int(extra.pop("warmup_steps", 0))
+    decay = int(extra.pop("decay_steps", 0))
+    if warmup and decay:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, config.learning_rate, warmup, warmup + decay
+        )
+    elif warmup:
+        lr = optax.linear_schedule(0.0, config.learning_rate, warmup)
+    elif decay:
+        lr = optax.cosine_decay_schedule(config.learning_rate, decay)
     name = config.optimizer.lower()
     wd = extra.pop("wd", extra.pop("weight_decay", 0.0))
     if name == "adam":

@@ -63,6 +63,9 @@ class TrainConfig:
     prefetch: int = 2
     # Per-parameter gradient-norm TB scalars (reference: trainer.py:257-270).
     log_param_grad_norms: bool = False
+    # Gradient accumulation: apply the optimizer every k steps
+    # (optax.MultiSteps); effective batch = k * batch_size.
+    grad_accum_steps: int = 1
 
 
 class Trainer:
@@ -80,6 +83,12 @@ class Trainer:
         self.mesh = mesh
 
         self.tx = build_optimizer(config.optimizer)
+        if config.grad_accum_steps > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=config.grad_accum_steps
+            ).gradient_transformation()
         loss_cfg = LossConfig(
             kl_weight=config.kl_loss_weight,
             label_smoothing=config.label_smoothing,

@@ -271,3 +271,45 @@ class TestPerParamGradNorms:
         assert any("encoder" in k for k in per_param)
         for k in per_param:
             assert float(m[k][1]) == 2.0  # two steps accumulated
+
+
+class TestOptimizerExtras:
+    def test_warmup_schedule(self):
+        tx = build_optimizer(
+            OptimizerConfig("adam", "warmup_steps:10,decay_steps:100", 1e-3)
+        )
+        params = {"w": jnp.ones((4,))}
+        state = tx.init(params)
+        g = {"w": jnp.ones((4,))}
+        # First update at step 0: lr 0 -> near-zero update
+        up, state = tx.update(g, state, params)
+        assert float(jnp.max(jnp.abs(up["w"]))) < 1e-6
+        for _ in range(10):
+            up, state = tx.update(g, state, params)
+        assert float(jnp.max(jnp.abs(up["w"]))) > 1e-5  # warmed up
+
+    def test_grad_accumulation(self):
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(
+            batch_size=3, sampling_frequency=0, checkpoint_frequency=10**9,
+            num_checkpoints_not_improved=-1, grad_accum_steps=2,
+            prefetch=0, logdir="/tmp/ga-tb",
+        )
+        t = Trainer(tcfg, model, params, sampler=None)
+        p0 = jax.tree.leaves(t.state.params)[0].copy()
+        batch = next(iter(ToyData()))
+        t._step(batch)
+        # After 1 micro-step params must be UNCHANGED (accumulating)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(t.state.params)[0]), np.asarray(p0)
+        )
+        t._step(batch)
+        # After the 2nd micro-step the optimizer applied
+        assert not np.array_equal(
+            np.asarray(jax.tree.leaves(t.state.params)[0]), np.asarray(p0)
+        )
