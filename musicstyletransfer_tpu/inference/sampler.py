@@ -20,7 +20,7 @@ import numpy as np
 from ..data.dataset import Batch, Dataset
 from ..midi.codec import MelodyWriter, melody_from_ids
 from ..models.config import Config, ModelConfig
-from ..models.vae import StyleVAE, init_params, make_model
+from ..models.vae import init_params, make_model
 from ..training import checkpoint as ckpt
 from .decode import beam_search, sample_sequences
 

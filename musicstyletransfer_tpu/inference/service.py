@@ -68,6 +68,9 @@ class StyleTransferService:
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        # jax.default_device contexts are thread-local: capture the caller's
+        # device so the serving thread computes on the same one.
+        self._device = jax.config.jax_default_device
 
     # -- request preparation -------------------------------------------
 
@@ -96,6 +99,12 @@ class StyleTransferService:
 
     def transfer_tokens(self, token_lists: List[np.ndarray]) -> List[TransferResult]:
         """Run one fused micro-batch; returns a result per request."""
+        if self._device is not None:
+            with jax.default_device(self._device):
+                return self._transfer_tokens(token_lists)
+        return self._transfer_tokens(token_lists)
+
+    def _transfer_tokens(self, token_lists: List[np.ndarray]) -> List[TransferResult]:
         assert 0 < len(token_lists) <= self.batch_size
         tokens, seq_lens = self._make_batch(token_lists)
         self._rng, key = jax.random.split(self._rng)

@@ -21,7 +21,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.dataset import Batch, Dataset
 from ..models.vae import StyleVAE

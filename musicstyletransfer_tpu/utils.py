@@ -15,8 +15,6 @@ import numpy as np
 
 from .midi.codec import Melody
 from .midi.vocab import (
-    NOTE_OFF_EVENTS,
-    NOTE_ON_EVENTS,
     is_note_off,
     is_note_on,
     is_timeshift,
