@@ -253,7 +253,15 @@ class Trainer:
             print("No checkpoint was found. Starting training from scratch")
             return
         print(f"Checkpoint {latest} found. Resuming training.")
-        self.state = ckpt.restore_checkpoint(model_folder, latest, self.state)
+        try:
+            self.state = ckpt.restore_checkpoint(model_folder, latest, self.state)
+        except Exception as exc:
+            # Crash-resume semantics (reference swallows all restore errors,
+            # trainer.py:192-194): a corrupt/incompatible checkpoint falls
+            # back to fresh training — but say why.
+            print(f"Checkpoint {latest} could not be restored ({exc}); "
+                  "starting training from scratch")
+            return
         if self.mesh is not None:
             self.state = shard_train_state(self.state, self.mesh)
         try:

@@ -313,3 +313,30 @@ class TestOptimizerExtras:
         assert not np.array_equal(
             np.asarray(jax.tree.leaves(t.state.params)[0]), np.asarray(p0)
         )
+
+
+class TestCrashRecovery:
+    def test_corrupt_checkpoint_falls_back_to_fresh(self, tmp_path, capsys):
+        """A mangled params.N dir must not kill training (reference
+        crash-resume semantics, trainer.py:192-194)."""
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        folder = str(tmp_path)
+        # fake a corrupt checkpoint dir
+        os.makedirs(os.path.join(folder, "params.3"))
+        with open(os.path.join(folder, "params.3", "garbage"), "w") as fh:
+            fh.write("not a checkpoint")
+
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=10**9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/cr-tb")
+        t = Trainer(tcfg, model, params, sampler=None)
+        t.fit(ToyData(), folder, epochs=2)
+        assert t.progress.n_batches == 2  # trained from scratch
+        out = capsys.readouterr().out
+        assert "could not be restored" in out
