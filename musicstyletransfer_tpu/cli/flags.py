@@ -86,6 +86,14 @@ def build_parser() -> argparse.ArgumentParser:
                      help="force CPU devices (tests/dev)")
     tpu.add_argument("--use-flash-attention", action="store_true",
                      help="Pallas fused attention in the transformer stacks")
+    tpu.add_argument("--prefetch", type=int, default=2,
+                     help="host->device input prefetch depth (0 disables)")
+    tpu.add_argument("--grad-accum-steps", type=int, default=1,
+                     help="gradient accumulation micro-steps")
+    tpu.add_argument("--log-param-grad-norms", action="store_true",
+                     help="per-parameter gradient-norm TB scalars")
+    tpu.add_argument("--profile-dir", type=str, default=None,
+                     help="write a jax.profiler trace of steps 10-20 here")
     return parser
 
 

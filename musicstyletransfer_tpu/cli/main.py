@@ -89,6 +89,10 @@ def create_train_config(args) -> TrainConfig:
         verbose=args.verbose,
         logdir=args.logdir,
         seed=args.seed,
+        prefetch=args.prefetch,
+        grad_accum_steps=args.grad_accum_steps,
+        log_param_grad_norms=args.log_param_grad_norms,
+        profile_dir=args.profile_dir,
     )
 
 

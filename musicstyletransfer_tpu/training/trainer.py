@@ -279,7 +279,12 @@ class Trainer:
         vals = self._drain_metrics()
         self._write_scalars(vals)
         ups = self.progress.n_batches / max(time.time() - start_time, 1e-9)
-        line = " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items()))
+        # Per-param grad norms go to TensorBoard only (reference prints just
+        # the main metric line, trainer.py:250-254).
+        line = " ".join(
+            f"{k}={v:.3f}" for k, v in sorted(vals.items())
+            if not k.startswith("grad_norm/")
+        )
         print(
             f"Epoch [{epoch}] Batch [{self.progress.n_batches}] "
             f"updates/sec: {ups:.2f} {line}"
