@@ -12,6 +12,7 @@ floats so the jitted step returns only small scalars.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Tuple
 
 import jax
@@ -84,8 +85,6 @@ class MetricAccumulator:
             c = self._counts[name]
             mean = s / c if c else float("nan")
             if name in self.LOG_SPACE:
-                import math
-
                 mean = math.exp(min(mean, 50.0))
             out[name] = mean
         return out
