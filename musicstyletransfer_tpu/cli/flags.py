@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-parameter gradient-norm TB scalars")
     tpu.add_argument("--profile-dir", type=str, default=None,
                      help="write a jax.profiler trace of steps 10-20 here")
+    tpu.add_argument("--temperature", type=float, default=1.0,
+                     help="sampling temperature for ancestral decoding")
+    tpu.add_argument("--kl-anneal-steps", type=int, default=0,
+                     help="linear KL warmup steps (0 = constant weight)")
+    tpu.add_argument("--free-bits", type=float, default=0.0,
+                     help="per-dimension KL floor (posterior-collapse guard)")
     return parser
 
 

@@ -84,6 +84,8 @@ def create_train_config(args) -> TrainConfig:
             learning_rate=args.learning_rate,
         ),
         kl_loss_weight=args.kl_loss,
+        kl_anneal_steps=args.kl_anneal_steps,
+        free_bits=args.free_bits,
         label_smoothing=args.label_smoothing,
         negative_label_downscaling=args.negative_label_downscaling,
         verbose=args.verbose,

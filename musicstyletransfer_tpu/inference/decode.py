@@ -50,6 +50,7 @@ def sample_sequences(
     classes: jax.Array,
     max_len: int,
     rng: jax.Array,
+    temperature: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode + ancestral multinomial decode, fully on device.
 
@@ -61,7 +62,7 @@ def sample_sequences(
     scores [B] = sum of -log p of emitted tokens).
     """
     z = _encode_deterministic(model, params, tokens, seq_lens, classes)
-    return decode_sampled(model, params, z, classes, max_len, rng)
+    return decode_sampled(model, params, z, classes, max_len, rng, temperature)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4))
@@ -72,8 +73,10 @@ def decode_sampled(
     classes: jax.Array,
     max_len: int,
     rng: jax.Array,
+    temperature: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Ancestral multinomial decode from a latent (z, classes) pair."""
+    """Ancestral multinomial decode from (z, classes); ``temperature``
+    scales the logits before sampling (1.0 = reference behavior)."""
     B = z.shape[0]
     cache = model.apply(
         {"params": params}, z, classes, max_len + 1, method=StyleVAE.decode_prefill
@@ -89,7 +92,7 @@ def decode_sampled(
             {"params": params}, last, st.cache, st.t, method=StyleVAE.decode_step
         )
         rng, key = jax.random.split(st.rng)
-        nxt = jax.random.categorical(key, logits).astype(jnp.int32)
+        nxt = jax.random.categorical(key, logits / temperature).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         scores = st.scores + jnp.where(st.done, 0.0, -tok_logp)
@@ -119,6 +122,7 @@ def style_transfer_all_classes(
     max_len: int,
     num_classes: int,
     rng: jax.Array,
+    temperature: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transfer a batch into EVERY target class in one fused device call.
 
@@ -135,7 +139,8 @@ def style_transfer_all_classes(
     seq_lens_rep = jnp.tile(seq_lens, (C,))
     classes_rep = jnp.repeat(jnp.arange(C, dtype=jnp.int32), B)
     seqs, scores = sample_sequences(
-        model, params, tokens_rep, seq_lens_rep, classes_rep, max_len, rng
+        model, params, tokens_rep, seq_lens_rep, classes_rep, max_len, rng,
+        temperature,
     )
     return seqs.reshape(C, B, max_len), scores.reshape(C, B)
 

@@ -53,7 +53,8 @@ def get_sampler(type: str, model_folder: str, checkpoint: Optional[int], args):
     visualize = getattr(args, "visualize_samples", False)
     if type == "sampling":
         return Sampling(model_folder, checkpoint, verbose=args.verbose,
-                        seed=getattr(args, "seed", 0), visualize=visualize)
+                        seed=getattr(args, "seed", 0), visualize=visualize,
+                        temperature=getattr(args, "temperature", 1.0))
     if type == "beam-search":
         return BeamSearchSampler(
             model_folder, checkpoint, beam_size=args.beam_size,
@@ -169,9 +170,11 @@ class SamplerBase:
 class Sampling(SamplerBase):
     """Ancestral multinomial sampling (reference: sampler.py:161-189)."""
 
-    def __init__(self, *args, seed: int = 0, **kwargs):
+    def __init__(self, *args, seed: int = 0, temperature: float = 1.0,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self._rng = jax.random.key(seed)
+        self.temperature = temperature
 
     def sample(self, batch: Batch) -> np.ndarray:
         max_len = int(batch.tokens.shape[1]) * 2  # reference: sampler.py:164
@@ -184,6 +187,7 @@ class Sampling(SamplerBase):
             jnp.asarray(batch.classes),
             max_len,
             key,
+            self.temperature,
         )
         return np.asarray(seqs)
 
@@ -201,6 +205,7 @@ class Sampling(SamplerBase):
             max_len,
             num_classes,
             key,
+            self.temperature,
         )
         return np.asarray(seqs)
 

@@ -69,16 +69,26 @@ def vae_loss(
     labels: jax.Array,
     mu: jax.Array,
     logvar: jax.Array,
-    kl_weight: float,
+    kl_weight,
     label_smoothing: float = 0.0,
     normalize: str = "valid",
+    free_bits: float = 0.0,
 ):
     """Total loss = mean CE + kl_weight * mean KL (reference: trainer.py:170-172).
+
+    ``kl_weight`` may be a traced scalar (KL annealing). ``free_bits`` > 0
+    clamps the per-dimension KL from below before summing (standard
+    posterior-collapse mitigation; the reference has neither knob and its
+    latent collapses on the bundled corpus).
 
     Returns (scalar_total, dict of scalar components).
     """
     ce = masked_cross_entropy(logits, labels, label_smoothing, normalize)
-    kl = kl_divergence(mu, logvar)
+    if free_bits > 0.0:
+        per_dim = 0.5 * (jnp.exp(logvar) + mu * mu - 1.0 - logvar)
+        kl = jnp.sum(jnp.maximum(per_dim, free_bits), axis=-1)
+    else:
+        kl = kl_divergence(mu, logvar)
     total = jnp.mean(ce) + kl_weight * jnp.mean(kl)
     return total, {"ce_loss": jnp.mean(ce), "kl_loss": jnp.mean(kl),
                    "total_loss": total}

@@ -35,6 +35,16 @@ class LossConfig:
     kl_weight: float = 1.0
     label_smoothing: float = 0.0
     normalize: str = "valid"
+    # Linear KL warmup over this many steps (0 = constant kl_weight).
+    kl_anneal_steps: int = 0
+    # Per-dimension KL floor (posterior-collapse mitigation; 0 disables).
+    free_bits: float = 0.0
+
+    def kl_weight_at(self, step):
+        if self.kl_anneal_steps <= 0:
+            return self.kl_weight
+        frac = jnp.minimum(step.astype(jnp.float32) / self.kl_anneal_steps, 1.0)
+        return self.kl_weight * frac
 
 
 def create_train_state(
@@ -107,9 +117,10 @@ def make_train_step(
                 labels,
                 mu,
                 logvar,
-                kl_weight=loss_config.kl_weight,
+                kl_weight=loss_config.kl_weight_at(state.step),
                 label_smoothing=loss_config.label_smoothing,
                 normalize=loss_config.normalize,
+                free_bits=loss_config.free_bits,
             )
             return total, (logits, scalars)
 

@@ -47,6 +47,8 @@ class TrainConfig:
     num_checkpoints_not_improved: int = 10
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     kl_loss_weight: float = 1.0
+    kl_anneal_steps: int = 0  # linear KL warmup (0 = constant)
+    free_bits: float = 0.0  # per-dim KL floor (posterior-collapse guard)
     label_smoothing: float = 0.0
     negative_label_downscaling: bool = False  # GAN leftover, kept for parity
     verbose: bool = False
@@ -91,6 +93,8 @@ class Trainer:
         loss_cfg = LossConfig(
             kl_weight=config.kl_loss_weight,
             label_smoothing=config.label_smoothing,
+            kl_anneal_steps=config.kl_anneal_steps,
+            free_bits=config.free_bits,
         )
         self.train_step = make_train_step(
             model, self.tx, loss_cfg, mesh=mesh,

@@ -182,3 +182,26 @@ class TestFusedStyleTransfer:
         assert np.all(s[:, :, 0] == SOS_ID)
         # different target classes produce different transfers
         assert not (np.array_equal(s[0], s[1]) and np.array_equal(s[1], s[2]))
+
+
+class TestTemperature:
+    def test_low_temperature_approaches_greedy(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        from musicstyletransfer_tpu.inference.decode import beam_search
+
+        cold, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(9),
+            0.01,
+        )
+        greedy, _ = beam_search(model, params, tokens, seq_lens, classes, 12, 1)
+        np.testing.assert_array_equal(np.asarray(cold), np.asarray(greedy))
+
+    def test_high_temperature_changes_samples(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        a, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(9), 1.0
+        )
+        b, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(9), 5.0
+        )
+        assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -340,3 +340,25 @@ class TestCrashRecovery:
         assert t.progress.n_batches == 2  # trained from scratch
         out = capsys.readouterr().out
         assert "could not be restored" in out
+
+
+class TestKLControls:
+    def test_annealing_ramps_weight(self):
+        from musicstyletransfer_tpu.training import LossConfig
+
+        lc = LossConfig(kl_weight=2.0, kl_anneal_steps=100)
+        assert float(lc.kl_weight_at(jnp.asarray(0))) == 0.0
+        assert abs(float(lc.kl_weight_at(jnp.asarray(50))) - 1.0) < 1e-6
+        assert float(lc.kl_weight_at(jnp.asarray(200))) == 2.0
+
+    def test_free_bits_floors_kl(self):
+        from musicstyletransfer_tpu.training.loss import vae_loss
+
+        logits = jnp.zeros((2, 3, 5))
+        labels = jnp.ones((2, 3), jnp.int32)
+        mu = jnp.zeros((2, 4))
+        logvar = jnp.zeros((2, 4))  # true KL = 0
+        _, s0 = vae_loss(logits, labels, mu, logvar, 1.0, free_bits=0.0)
+        _, s1 = vae_loss(logits, labels, mu, logvar, 1.0, free_bits=0.5)
+        assert float(s0["kl_loss"]) < 1e-6
+        assert abs(float(s1["kl_loss"]) - 4 * 0.5) < 1e-6  # floored per dim
