@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="linear KL warmup steps (0 = constant weight)")
     tpu.add_argument("--free-bits", type=float, default=0.0,
                      help="per-dimension KL floor (posterior-collapse guard)")
+    tpu.add_argument("--remat", action="store_true",
+                     help="rematerialize transformer layers in backward")
     return parser
 
 

@@ -39,6 +39,7 @@ def create_model_config(args, dataset) -> ModelConfig:
                 vocab_size=dataset.num_tokens(),
                 num_heads=args.e_num_heads,
                 use_flash_attention=args.use_flash_attention,
+                remat=args.remat,
             ),
             latent_dim=args.latent_dim,
             num_classes=dataset.num_classes(),
@@ -52,6 +53,7 @@ def create_model_config(args, dataset) -> ModelConfig:
                 vocab_size=dataset.num_tokens(),
                 num_heads=args.e_num_heads,
                 use_flash_attention=args.use_flash_attention,
+                remat=args.remat,
             ),
             latent_dim=args.latent_dim,
             num_classes=dataset.num_classes(),

@@ -92,6 +92,10 @@ class TransformerConfig(Config):
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.
     sequence_sharding: bool = False
+    # Rematerialize each transformer layer in backward (jax.checkpoint):
+    # trades recompute FLOPs for activation memory — the right trade for
+    # long-sequence training on TPU where HBM is the constraint.
+    remat: bool = False
 
 
 @register_config

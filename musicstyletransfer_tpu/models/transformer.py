@@ -203,6 +203,15 @@ class TransformerLayer(nn.Module):
         return x_t, (ck, cv)
 
 
+def _layer_call(layer: "TransformerLayer", x, key_mask, train):
+    return layer(x, key_mask, train)
+
+
+# Rematerialized layer application (config.remat): recompute the layer in
+# the backward pass instead of saving its activations.
+_remat_layer_call = nn.remat(_layer_call, static_argnums=(3,))
+
+
 class TransformerStack(nn.Module):
     """Shared encoder/decoder stack: sqrt(d)*x + positional table, N layers
     (reference: transformer.py:214-273)."""
@@ -251,7 +260,11 @@ class TransformerStack(nn.Module):
         """x: [B, T, D]; key_mask: [B, T] 1 for valid positions."""
         x = self._seq_shard(self._input(x))
         for layer in self.layers:
-            x = self._seq_shard(layer(x, key_mask, train))
+            if self.config.remat and train:
+                x = _remat_layer_call(layer, x, key_mask, train)
+            else:
+                x = layer(x, key_mask, train)
+            x = self._seq_shard(x)
         return x
 
     def step(

@@ -28,4 +28,5 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 256 \
 --d-dropout 0.1 \
 --use-flash-attention \
+--remat \
 "$@"

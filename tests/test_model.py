@@ -180,3 +180,57 @@ class TestConfigYaml:
         assert loaded.num_layers == 3
         assert loaded.num_heads == 8  # default filled in
         assert loaded.use_flash_attention is False
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        """config.remat must not change values or gradients."""
+        import dataclasses
+
+        from musicstyletransfer_tpu.training import (
+            LossConfig, OptimizerConfig, build_optimizer, create_train_state,
+            make_train_step,
+        )
+        from musicstyletransfer_tpu.data import ToyData
+
+        base = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                           layers=2)
+        tc_r = dataclasses.replace(
+            base.encoder_config.transformer_config, remat=True
+        )
+        cfg_r = dataclasses.replace(
+            base,
+            encoder_config=dataclasses.replace(
+                base.encoder_config, transformer_config=tc_r
+            ),
+            decoder_config=dataclasses.replace(
+                base.decoder_config, transformer_config=tc_r
+            ),
+        )
+        m0, m1 = make_model(base), make_model(cfg_r)
+        params = init_params(m0, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        batch = next(iter(ToyData()))
+        args = tuple(jnp.asarray(a) for a in
+                     (batch.tokens, batch.seq_lens, batch.classes, batch.labels))
+
+        s0 = create_train_state(params, tx, jax.random.key(5))
+        s1 = create_train_state(params, tx, jax.random.key(5))
+        st0 = make_train_step(m0, tx, LossConfig())
+        st1 = make_train_step(m1, tx, LossConfig())
+        s0, a0 = st0(s0, None, *args)
+        s1, a1 = st1(s1, None, *args)
+        s0, b0 = st0(s0, None, *args)
+        s1, b1 = st1(s1, None, *args)
+        # Step-2 loss reflects step-1's update: agreement proves remat
+        # changed neither values nor gradients beyond fp reassociation.
+        np.testing.assert_allclose(
+            float(a0["total_loss"][0]), float(a1["total_loss"][0]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(b0["total_loss"][0]), float(b1["total_loss"][0]), rtol=1e-5
+        )
+        # adam amplifies fp-reassociation noise on near-zero grads up to
+        # ~n_steps*lr; bound params by that envelope.
+        for x, y in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=4.5e-3)
