@@ -164,11 +164,20 @@ def flash_attention(
     return out
 
 
+# Max q/k block edge; longer sequences use bigger blocks to amortize the
+# online-softmax loop (tunable; see bench history in commit messages).
+_MAX_BLOCK = 256
+
+
+def _block_for(T: int) -> int:
+    return min(_MAX_BLOCK if T < 2048 else 512, _round_up(T, 8))
+
+
 def _flash_forward_with_lse(q, k, v, key_lens, causal, sm_scale, interpret):
     B, H, T, D = q.shape
 
-    block_q = min(256, _round_up(T, 8))
-    block_k = min(256, _round_up(T, 8))
+    block_q = _block_for(T)
+    block_k = _block_for(T)
     T_pad = _round_up(T, max(block_q, block_k))
     if T_pad != T:
         pad = [(0, 0), (0, 0), (0, T_pad - T), (0, 0)]
@@ -363,7 +372,7 @@ def _dkv_kernel(
 def _flash_backward(q, k, v, key_lens, lse, out, g, causal, sm_scale,
                     interpret):
     B, H, T, D = q.shape
-    block_q = min(256, _round_up(T, 8))
+    block_q = _block_for(T)
     block_k = block_q
     T_pad = _round_up(T, block_q)
     if T_pad != T:

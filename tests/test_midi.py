@@ -245,3 +245,81 @@ class TestReaderWriter:
         with open(golden_path) as fh:
             want = fh.read().strip()
         assert got == want
+
+
+class TestSmfPropertyRoundTrip:
+    def test_random_tracks_roundtrip(self):
+        """Property: arbitrary well-formed event sequences survive
+        write -> parse exactly (ticks, pitches, velocities, tempo)."""
+        rng = np.random.default_rng(7)
+        for trial in range(25):
+            track = [smf.SetTempo.from_bpm(float(rng.integers(40, 240)))]
+            for _ in range(rng.integers(1, 60)):
+                tick = int(rng.integers(0, 5000))
+                pitch = int(rng.integers(0, 128))
+                if rng.random() < 0.5:
+                    track.append(smf.NoteOn(tick=tick, pitch=pitch,
+                                            velocity=int(rng.integers(0, 128))))
+                else:
+                    track.append(smf.NoteOff(tick=tick, pitch=pitch,
+                                             velocity=int(rng.integers(0, 128))))
+            track.append(smf.EndOfTrack(tick=1))
+            buf = smf.dump_midifile(
+                smf.MidiFile(format=1, resolution=int(rng.integers(24, 960)),
+                             tracks=[track])
+            )
+            back = smf.parse_midifile(buf)
+            orig_events = [e for e in track if not isinstance(e, smf.EndOfTrack)]
+            read_events = [e for e in back.tracks[0]
+                           if not isinstance(e, smf.EndOfTrack)]
+            assert len(orig_events) == len(read_events), trial
+            for a, b in zip(orig_events, read_events):
+                assert type(a) is type(b)
+                assert a.tick == b.tick
+                if isinstance(a, (smf.NoteOn, smf.NoteOff)):
+                    assert (a.pitch, a.velocity) == (b.pitch, b.velocity)
+                if isinstance(a, smf.SetTempo):
+                    assert a.mpqn == b.mpqn
+
+    def test_tokenizer_handles_random_files(self):
+        """Tokenization of arbitrary well-formed files never crashes and
+        emits only valid ids."""
+        from musicstyletransfer_tpu.midi.codec import tokenize_track
+
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            track = []
+            for _ in range(rng.integers(1, 80)):
+                track.append(
+                    smf.NoteOn(tick=int(rng.integers(0, 4000)),
+                               pitch=int(rng.integers(0, 128)),
+                               velocity=int(rng.integers(0, 128)))
+                )
+            toks = tokenize_track(track)
+            if len(toks):
+                assert toks.min() >= vocab.FEATURE_OFFSET
+                assert toks.max() < vocab.NUM_EVENTS
+
+    def test_native_matches_python_on_random_files(self, tmp_path):
+        native = pytest.importorskip("musicstyletransfer_tpu.midi.native")
+        if not native.available():
+            pytest.skip("no native lib")
+        from musicstyletransfer_tpu.midi.codec import EventBasedMIDIReader
+
+        py, nat = EventBasedMIDIReader(), native.NativeMIDIReader()
+        rng = np.random.default_rng(13)
+        for trial in range(10):
+            track = [smf.SetTempo.from_bpm(120.0)]
+            for _ in range(40):
+                track.append(
+                    smf.NoteOn(tick=int(rng.integers(0, 3000)),
+                               pitch=int(rng.integers(0, 128)),
+                               velocity=int(rng.integers(0, 128)))
+                )
+            p = str(tmp_path / f"r{trial}.mid")
+            smf.write_midifile(
+                p, smf.MidiFile(format=1, resolution=220, tracks=[track])
+            )
+            a, b = py.read_file(p), nat.read_file(p)
+            for ma, mb in zip(a, b):
+                np.testing.assert_array_equal(ma.tokens, mb.tokens)
