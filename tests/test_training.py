@@ -362,3 +362,38 @@ class TestKLControls:
         _, s1 = vae_loss(logits, labels, mu, logvar, 1.0, free_bits=0.5)
         assert float(s0["kl_loss"]) < 1e-6
         assert abs(float(s1["kl_loss"]) - 4 * 0.5) < 1e-6  # floored per dim
+
+
+class TestEdgeCases:
+    def test_empty_corpus_raises(self):
+        with pytest.raises(AssertionError, match="Empty sequences"):
+            tensorize_melodies({}, max_seq_len=4)
+
+    def test_config_copy_override(self):
+        cfg = tiny_config()
+        c2 = cfg.copy(dtype="float32")
+        assert c2.dtype == "float32"
+        assert c2.encoder_config == cfg.encoder_config
+
+    def test_dataset_shuffle_determinism(self):
+        mel = {"a": [Melody(tokens=np.arange(10, 60, dtype=np.int32))]}
+        d1 = MelodyDataset(4, 4, mel, seed=5)
+        d2 = MelodyDataset(4, 4, mel, seed=5)
+        b1, b2 = next(iter(d1)), next(iter(d2))
+        np.testing.assert_array_equal(b1.tokens, b2.tokens)
+        d3 = MelodyDataset(4, 4, mel, seed=6)
+        b3 = next(iter(d3))
+        assert not np.array_equal(np.asarray(b1.tokens), np.asarray(b3.tokens))
+
+    def test_epochs_reshuffle(self):
+        mel = {"a": [Melody(tokens=np.arange(10, 100, dtype=np.int32))]}
+        ds = MelodyDataset(4, 4, mel, seed=0)
+        e1 = np.concatenate([b.tokens for b in ds])
+        e2 = np.concatenate([b.tokens for b in ds])
+        assert not np.array_equal(e1, e2)  # new order each epoch
+
+    def test_loader_missing_dir_raises(self):
+        from musicstyletransfer_tpu.data import Loader
+
+        with pytest.raises(StopIteration):
+            Loader("/nonexistent/path/xyz", 64)
