@@ -102,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-dimension KL floor (posterior-collapse guard)")
     tpu.add_argument("--remat", action="store_true",
                      help="rematerialize transformer layers in backward")
+    tpu.add_argument("--length-penalty", type=float, default=0.0,
+                     help="beam-search length normalization alpha (0 = off)")
     return parser
 
 

@@ -153,7 +153,7 @@ class _BeamLoopState(NamedTuple):
     done: jax.Array  # [B*K]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
 def beam_search(
     model: StyleVAE,
     params,
@@ -162,16 +162,22 @@ def beam_search(
     classes: jax.Array,
     max_len: int,
     beam_size: int,
+    length_penalty: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode + batched beam-search decode.
+
+    ``length_penalty`` alpha > 0 ranks final hypotheses by
+    score / len^alpha (GNMT-style length normalization; 0 = raw
+    cumulative score, the reference's behavior).
 
     Returns (seqs [B, max_len] best hypothesis per sequence, scores [B]).
     """
     z = _encode_deterministic(model, params, tokens, seq_lens, classes)
-    return decode_beam(model, params, z, classes, max_len, beam_size)
+    return decode_beam(model, params, z, classes, max_len, beam_size,
+                       length_penalty)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def decode_beam(
     model: StyleVAE,
     params,
@@ -179,6 +185,7 @@ def decode_beam(
     classes: jax.Array,
     max_len: int,
     beam_size: int,
+    length_penalty: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     B = z.shape[0]
     K = beam_size
@@ -234,7 +241,18 @@ def decode_beam(
         t=jnp.asarray(1, jnp.int32),
         done=jnp.zeros((B * K,), bool),
     )
-    final = beam = jax.lax.while_loop(cond, body, init)
+    final = jax.lax.while_loop(cond, body, init)
+    if length_penalty > 0.0:
+        # GNMT-style: rank by score / len^alpha (lower is better).
+        seqs_bk = final.seqs.reshape(B, K, max_len)
+        lens = jnp.sum(seqs_bk != PAD_ID, axis=-1).astype(jnp.float32)
+        normed = final.scores / jnp.maximum(lens, 1.0) ** length_penalty
+        best_idx = jnp.argmin(normed, axis=-1)  # [B]
+        best = jnp.take_along_axis(
+            seqs_bk, best_idx[:, None, None], axis=1
+        )[:, 0]
+        best_scores = jnp.take_along_axis(normed, best_idx[:, None], axis=1)[:, 0]
+        return best, best_scores
     # Hypotheses are kept sorted by top_k: beam 0 is the best.
     best = final.seqs.reshape(B, K, max_len)[:, 0]
     return best, final.scores[:, 0]

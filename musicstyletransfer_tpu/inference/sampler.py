@@ -59,6 +59,7 @@ def get_sampler(type: str, model_folder: str, checkpoint: Optional[int], args):
         return BeamSearchSampler(
             model_folder, checkpoint, beam_size=args.beam_size,
             verbose=args.verbose, visualize=visualize,
+            length_penalty=getattr(args, "length_penalty", 0.0),
         )
     raise ValueError(f"Sampler {type} is not implemented")
 
@@ -213,9 +214,11 @@ class Sampling(SamplerBase):
 class BeamSearchSampler(SamplerBase):
     """Batched beam search (working redesign of reference sampler.py:192-257)."""
 
-    def __init__(self, *args, beam_size: int = 5, **kwargs):
+    def __init__(self, *args, beam_size: int = 5, length_penalty: float = 0.0,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.beam_size = beam_size
+        self.length_penalty = length_penalty
         self.max_length_factor = 2.0
 
     def sample(self, batch: Batch) -> np.ndarray:
@@ -228,5 +231,6 @@ class BeamSearchSampler(SamplerBase):
             jnp.asarray(batch.classes),
             max_len,
             self.beam_size,
+            self.length_penalty,
         )
         return np.asarray(seqs)

@@ -205,3 +205,20 @@ class TestTemperature:
             model, params, tokens, seq_lens, classes, 12, jax.random.key(9), 5.0
         )
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLengthPenalty:
+    def test_zero_penalty_is_default_behavior(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        a, _ = beam_search(model, params, tokens, seq_lens, classes, 12, 3)
+        b, _ = beam_search(model, params, tokens, seq_lens, classes, 12, 3, 0.0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_penalty_returns_valid_hypothesis(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        seqs, scores = beam_search(
+            model, params, tokens, seq_lens, classes, 12, 3, 0.7
+        )
+        assert seqs.shape == (2, 12)
+        assert np.all(np.asarray(seqs[:, 0]) == SOS_ID)
+        assert np.all(np.isfinite(np.asarray(scores)))
