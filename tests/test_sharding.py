@@ -159,6 +159,23 @@ class TestShardedInference:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+class TestDriverGate:
+    def test_dryrun_multichip_self_provisions(self):
+        """The driver's multi-chip gate must pass from ANY host environment:
+        dryrun_multichip re-execs a subprocess with its own virtual CPU
+        platform, so it works even where the default backend is broken
+        (round-1 regression: MULTICHIP_r01 ok=false)."""
+        import importlib
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        try:
+            g = importlib.import_module("__graft_entry__")
+            g.dryrun_multichip(8)  # raises on worker failure
+        finally:
+            sys.path.remove("/root/repo")
+
+
 class TestSequenceSharding:
     def test_sp_matches_unsharded(self, cpu_devices):
         """sequence_sharding constraints must not change the numbers."""
