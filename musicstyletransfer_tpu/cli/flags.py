@@ -21,7 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     net = parser.add_argument_group("Network")
     net.add_argument("--e-n-layers", type=int, default=1)
     net.add_argument("--e-rnn-hidden-dim", type=int, default=128)
-    net.add_argument("--e-emb-hidden-dim", type=int, default=64)
+    net.add_argument(
+        "--e-emb-hidden-dim", type=int, default=64,
+        help="accepted for reference CLI parity; INERT (the reference never "
+             "reads it either — embeddings are model_size-dimensional)",
+    )
     net.add_argument("--e-dropout", type=float, default=0.0)
     net.add_argument("--e-num-heads", type=int, default=8)
     net.add_argument("--latent-dim", type=int, default=64)
@@ -58,7 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     misc = parser.add_argument_group("Misc")
-    misc.add_argument("--load-checkpoint", type=int, default=1)
+    misc.add_argument(
+        "--load-checkpoint", type=int, default=1,
+        help="accepted for reference CLI parity; INERT (the reference never "
+             "reads it either — resume always picks the latest checkpoint)",
+    )
     misc.add_argument("--checkpoint-frequency", type=int, default=5000)
     misc.add_argument("--sampling-frequency", type=int, default=1000)
     misc.add_argument("--num-checkpoints-not-improved", type=int, default=10)

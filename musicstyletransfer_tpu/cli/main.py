@@ -213,7 +213,9 @@ def main(argv=None) -> None:
 
     from ..inference.sampler import get_sampler
 
-    sampler = get_sampler("sampling", args.model_output, None, args)
+    # The reference hardcodes 'sampling' here (main.py:156) even though it
+    # parses --sampling-type; we honor the flag on both CLIs.
+    sampler = get_sampler(args.sampling_type, args.model_output, None, args)
 
     trainer = Trainer(create_train_config(args), model, params,
                       sampler=sampler, mesh=mesh)

@@ -6,9 +6,26 @@ Reference: VarAutoEncoder/sampler.py:259-296 (sample_toy + main).
 
 from __future__ import annotations
 
+import os
+
+import jax
+
 from ..data import Loader, MelodyDataset, ToyData
 from ..inference.sampler import get_sampler
 from .flags import get_config
+
+
+def _setup_jax(args) -> None:
+    """Compile cache + optional CPU pin (the axon TPU plugin registers even
+    under JAX_PLATFORMS=cpu, so --cpu must pin the default device)."""
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/mst-jax-cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
 def sample_toy(args) -> None:
@@ -22,6 +39,7 @@ def sample_toy(args) -> None:
 
 def main(argv=None) -> None:
     args = get_config(argv)
+    _setup_jax(args)
 
     if args.toy:
         sample_toy(args)

@@ -39,16 +39,25 @@ class Batch:
     seq_lens: (B,)    int32 — # non-PAD input tokens (includes the SOS)
     classes:  (B,)    int32 — style class ids
     labels:   (B, L+1) int32 — target ids with per-row EOS, PAD elsewhere
+    n_valid:  rows [n_valid:] are wrap-padding duplicates of earlier rows
+              (kept for static shapes); ``None`` means every row is real.
+              Evaluation masks the duplicates out so aggregate metrics
+              don't double-count them.
     """
 
     tokens: np.ndarray
     seq_lens: np.ndarray
     classes: np.ndarray
     labels: np.ndarray
+    n_valid: Optional[int] = None
 
     @property
     def batch_size(self) -> int:
         return int(self.tokens.shape[0])
+
+    @property
+    def num_valid(self) -> int:
+        return self.batch_size if self.n_valid is None else int(self.n_valid)
 
 
 class Dataset:
@@ -217,14 +226,16 @@ class MelodyDataset(Dataset):
         bs = self.batch_size
         for start in range(0, n, bs):
             idx = order[start : start + bs]
-            if len(idx) < bs:
+            n_valid = len(idx)
+            if n_valid < bs:
                 # wrap-pad to the static batch size (NDArrayIter 'pad')
-                idx = np.concatenate([idx, order[: bs - len(idx)]])
+                idx = np.concatenate([idx, order[: bs - n_valid]])
             yield Batch(
                 tokens=self.tokens[idx],
                 seq_lens=self.seq_lens[idx],
                 classes=self.classes[idx],
                 labels=self.labels[idx],
+                n_valid=n_valid,
             )
 
 

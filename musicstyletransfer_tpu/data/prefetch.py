@@ -46,7 +46,7 @@ def prefetch_batches(
         else:
             tokens, seq_lens, classes, labels = jax.device_put(arrays)
         return Batch(tokens=tokens, seq_lens=seq_lens, classes=classes,
-                     labels=labels)
+                     labels=labels, n_valid=batch.n_valid)
 
     def producer() -> None:
         try:

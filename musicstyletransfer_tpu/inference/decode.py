@@ -245,7 +245,9 @@ def decode_beam(
     if length_penalty > 0.0:
         # GNMT-style: rank by score / len^alpha (lower is better).
         seqs_bk = final.seqs.reshape(B, K, max_len)
-        lens = jnp.sum(seqs_bk != PAD_ID, axis=-1).astype(jnp.float32)
+        # Normalize over GENERATED tokens only: position 0 is the SOS, which
+        # contributes no score term.
+        lens = (jnp.sum(seqs_bk != PAD_ID, axis=-1) - 1).astype(jnp.float32)
         normed = final.scores / jnp.maximum(lens, 1.0) ** length_penalty
         best_idx = jnp.argmin(normed, axis=-1)  # [B]
         best = jnp.take_along_axis(

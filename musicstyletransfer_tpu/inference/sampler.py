@@ -88,8 +88,13 @@ class SamplerBase:
         )
 
     def update_parameters(self, params) -> None:
-        """Share live training weights (reference: sampler.py:72-75)."""
-        self.params = params
+        """Adopt live training weights (reference: sampler.py:72-75).
+
+        Copies the arrays: the jitted train step DONATES its input state,
+        so aliasing the trainer's buffers would leave this sampler holding
+        deleted arrays after the next training step.
+        """
+        self.params = jax.tree.map(jnp.copy, params)
 
     # ------------------------------------------------------------------
 

@@ -64,9 +64,24 @@ def checkpoint_path(model_folder: str, index: int) -> str:
     return os.path.abspath(os.path.join(model_folder, f"params.{index}"))
 
 
-def save_checkpoint(model_folder: str, index: int, state: TrainState) -> None:
+def save_checkpoint(
+    model_folder: str,
+    index: int,
+    state: TrainState,
+    checkpointer: Optional[ocp.AsyncCheckpointer] = None,
+) -> None:
+    """Write params.{index}. With a caller-owned ``checkpointer`` the save is
+    ASYNC: this returns once the device->host snapshot is taken (safe even
+    though the train step donates the state), while serialization and the
+    disk write proceed on orbax's background threads — checkpoint ticks no
+    longer stall the device. Call ``checkpointer.wait_until_finished()``
+    before relying on the files (the Trainer does this on exit and before
+    any restore). Without one, the save blocks until durable (simple API).
+    """
     path = checkpoint_path(model_folder, index)
-    ckptr = ocp.StandardCheckpointer()
+    own = checkpointer is None
+    ckptr = ocp.StandardCheckpointer() if own else checkpointer
+    ckptr.wait_until_finished()  # at most one save in flight
     # Orbax wants the target dir to not exist.
     if os.path.exists(path):
         import shutil
@@ -78,7 +93,8 @@ def save_checkpoint(model_folder: str, index: int, state: TrainState) -> None:
         "opt_state": jax.device_get(state.opt_state),
         "rng": jax.device_get(jax.random.key_data(state.rng)),
     })
-    ckptr.wait_until_finished()
+    if own:
+        ckptr.wait_until_finished()
 
 
 def restore_checkpoint(
@@ -105,9 +121,12 @@ def restore_params(model_folder: str, index: int, params_template):
     """Restore only model parameters (inference path, reference sampler.py:32-37)."""
     path = checkpoint_path(model_folder, index)
     ckptr = ocp.StandardCheckpointer()
-    # Restore the serialized dict and take the params subtree; validate the
-    # tree structure against the template.
-    restored = ckptr.restore(path)
+    # Build a concrete target from the checkpoint's own metadata (a bare
+    # targetless restore triggers orbax's UNSAFE-deserialization warning
+    # on every inference-model load).
+    meta = ckptr.metadata(path).item_metadata
+    target = jax.tree.map(lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta)
+    restored = ckptr.restore(path, target)
     params = restored["params"]
     want = jax.tree_util.tree_structure(jax.device_get(params_template))
     got = jax.tree_util.tree_structure(params)

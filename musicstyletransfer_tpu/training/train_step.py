@@ -217,26 +217,40 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 
 def make_eval_step(model: StyleVAE, loss_config: LossConfig) -> Callable:
-    """Deterministic evaluation step (z = mu, no dropout).
+    """Deterministic evaluation step (z = mu, no dropout), row-maskable.
 
     The reference's validation pass re-runs the training forward including
     z-sampling and dropout (trainer.py:155-179 with is_train=False); here
     evaluation is deterministic — a documented divergence.
-    """
 
-    def eval_fn(params, tokens, seq_lens, classes, labels):
+    ``n_valid`` masks wrap-padded duplicate rows (the final partial batch
+    wraps to the start for static shapes) out of EVERY metric, so the
+    early-stopping loss is invariant to batch size. Loss metrics are
+    accumulated per ROW (sum over valid rows, count = n_valid), not per
+    batch, which also weights uneven batches correctly.
+    """
+    from ..midi.vocab import PAD_ID
+    from .loss import kl_divergence, masked_cross_entropy
+
+    def eval_fn(params, tokens, seq_lens, classes, labels, n_valid):
         logits, mu, logvar = model.apply(
             {"params": params}, tokens, seq_lens, classes, train=False
         )
-        _, scalars = vae_loss(
-            logits,
-            labels,
-            mu,
-            logvar,
-            kl_weight=loss_config.kl_weight,
-            label_smoothing=loss_config.label_smoothing,
-            normalize=loss_config.normalize,
+        B = labels.shape[0]
+        row_mask = jnp.arange(B) < n_valid
+        labels = jnp.where(row_mask[:, None], labels, PAD_ID)
+        ce = masked_cross_entropy(
+            logits, labels, loss_config.label_smoothing, loss_config.normalize
+        )  # [B]; wrap rows are all-PAD now -> 0
+        kl = kl_divergence(mu, logvar)  # [B]
+        rm = row_mask.astype(jnp.float32)
+        n = jnp.sum(rm)
+        metrics = step_metrics(logits, labels, {})
+        metrics["ce_loss"] = (jnp.sum(ce * rm), n)
+        metrics["kl_loss"] = (jnp.sum(kl * rm), n)
+        metrics["total_loss"] = (
+            jnp.sum((ce + loss_config.kl_weight * kl) * rm), n
         )
-        return step_metrics(logits, labels, scalars)
+        return metrics
 
     return jax.jit(eval_fn)

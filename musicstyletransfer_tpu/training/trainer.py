@@ -110,7 +110,19 @@ class Trainer:
         # at log/checkpoint boundaries so the hot loop never syncs.
         self._metric_acc = None
         self.progress = ckpt.TrainingProgress()
+        self._batches_at_start = 0
         self._writer = None
+        # One long-lived async checkpointer: saves overlap training instead
+        # of blocking the device at every checkpoint tick.
+        self._checkpointer = None
+
+    @property
+    def checkpointer(self):
+        if self._checkpointer is None:
+            import orbax.checkpoint as ocp
+
+            self._checkpointer = ocp.StandardCheckpointer()
+        return self._checkpointer
 
     @property
     def writer(self):
@@ -133,6 +145,9 @@ class Trainer:
         start_time = time.time()
         os.makedirs(model_folder, exist_ok=True)
         self._load_latest_checkpoint(model_folder)
+        # updates/sec must count only THIS run's batches (after a resume,
+        # progress.n_batches includes prior runs' work).
+        self._batches_at_start = self.progress.n_batches
 
         cfg = self.config
         if cfg.prefetch > 0:
@@ -141,6 +156,19 @@ class Trainer:
 
             sharding = batch_sharding(self.mesh) if self.mesh is not None else None
             dataset = PrefetchingDataset(dataset, cfg.prefetch, sharding)
+        try:
+            self._fit_loop(dataset, model_folder, epochs, validation_dataset,
+                           start_time)
+        finally:
+            # Async saves must be durable before fit returns (and before any
+            # subsequent resume reads the folder).
+            if self._checkpointer is not None:
+                self._checkpointer.wait_until_finished()
+
+    def _fit_loop(
+        self, dataset, model_folder, epochs, validation_dataset, start_time
+    ) -> None:
+        cfg = self.config
         for epoch in range(epochs):
             for batch in dataset:
                 if cfg.profile_dir is not None:
@@ -212,6 +240,7 @@ class Trainer:
                 jnp.asarray(batch.seq_lens),
                 jnp.asarray(batch.classes),
                 jnp.asarray(batch.labels),
+                jnp.asarray(batch.num_valid, jnp.int32),
             )
             acc.update(jax.device_get(metrics))
         vals = acc.get()
@@ -225,7 +254,8 @@ class Trainer:
     def _checkpoint(self, model_folder: str, validation_dataset) -> None:
         self.progress.n_checkpoints += 1
         print(f"\nCheckpoint {self.progress.n_checkpoints} reached.")
-        ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints, self.state)
+        ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints,
+                             self.state, checkpointer=self.checkpointer)
         self.progress.save(model_folder)
         self._metric_acc = None  # reset running metrics (trainer.py:210)
 
@@ -282,7 +312,9 @@ class Trainer:
     def _periodic_log(self, epoch: int, start_time: float) -> None:
         vals = self._drain_metrics()
         self._write_scalars(vals)
-        ups = self.progress.n_batches / max(time.time() - start_time, 1e-9)
+        ups = (self.progress.n_batches - self._batches_at_start) / max(
+            time.time() - start_time, 1e-9
+        )
         # Per-param grad norms go to TensorBoard only (reference prints just
         # the main metric line, trainer.py:250-254).
         line = " ".join(
