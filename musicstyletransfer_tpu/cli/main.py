@@ -187,8 +187,11 @@ def main(argv=None) -> None:
         if args.validation_data is not None
         else None
     )
+    # device_layout: ship raw chunks; the jitted train step tensorizes on
+    # device (the north-star host/device split — see data/dataset.py).
     train_dataset, valid_dataset = load_dataset(
-        loader, args.batch_size, args.validation_split, val_loader
+        loader, args.batch_size, args.validation_split, val_loader,
+        device_layout=True,
     )
 
     os.makedirs(args.model_output, exist_ok=True)

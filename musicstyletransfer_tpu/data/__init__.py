@@ -2,8 +2,12 @@ from .dataset import (
     Batch,
     Dataset,
     MelodyDataset,
+    RawBatch,
     ToyData,
+    chunk_melodies,
+    device_layout_chunks,
     device_tensorize,
+    layout_chunks,
     load_dataset,
     tensorize_melodies,
 )
@@ -14,8 +18,12 @@ __all__ = [
     "Dataset",
     "Loader",
     "MelodyDataset",
+    "RawBatch",
     "ToyData",
+    "chunk_melodies",
+    "device_layout_chunks",
+    "device_tensorize",
+    "layout_chunks",
     "load_dataset",
     "tensorize_melodies",
-    "device_tensorize",
 ]

@@ -60,6 +60,43 @@ class Batch:
         return self.batch_size if self.n_valid is None else int(self.n_valid)
 
 
+@dataclasses.dataclass(frozen=True)
+class RawBatch:
+    """A batch BEFORE tensor layout: raw PAD-padded token chunks.
+
+    The device-layout input path ships these to the accelerator and lets the
+    jitted train/eval step derive (tokens, seq_lens, labels) on device via
+    ``device_layout_chunks`` — the north-star split where host work stops at
+    MIDI decode + chunking (reference equivalent: data.py:133-198 does all
+    of it on host per batch).
+
+    chunks:  (B, L) int32 — melody event ids, PAD-padded
+    classes: (B,)  int32 — style class ids
+    n_valid: as in ``Batch``
+    """
+
+    chunks: np.ndarray
+    classes: np.ndarray
+    n_valid: Optional[int] = None
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.chunks.shape[0])
+
+    @property
+    def num_valid(self) -> int:
+        return self.batch_size if self.n_valid is None else int(self.n_valid)
+
+    def to_batch(self) -> "Batch":
+        """Host-side layout for consumers that need concrete tensors
+        (e.g. the sampler writing original MIDI)."""
+        chunks = np.asarray(self.chunks)
+        tokens, seq_lens, labels = layout_chunks(chunks)
+        return Batch(tokens=tokens, seq_lens=seq_lens,
+                     classes=np.asarray(self.classes), labels=labels,
+                     n_valid=self.n_valid)
+
+
 class Dataset:
     """Reference: data.py:42-54."""
 
@@ -100,16 +137,17 @@ class ToyData(Dataset):
         yield Batch(self._tokens, self._seq_lens, self._classes, self._labels)
 
 
-def tensorize_melodies(
+def chunk_melodies(
     melodies: Dict[str, List[Melody]], max_seq_len: int
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Chunk + pad + SOS/EOS layout (reference: data.py:133-173, fixed §8.2).
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host half of the tokenize->tensorize pipeline: chop each melody's
+    event-id stream into PAD-padded ``max_seq_len`` chunks.
 
-    Returns (tokens (N, L+1), seq_lens (N,), classes (N,), labels (N, L+1)).
-    Classes are indexed in sorted-name order (reference: data.py:100).
+    Returns (chunks (N, L) int32, classes (N,) int32). Classes are indexed
+    in sorted-name order (reference: data.py:100).
     """
     L = max_seq_len
-    chunks: List[np.ndarray] = []
+    rows: List[np.ndarray] = []
     classes: List[int] = []
     for class_idx, class_melodies in enumerate(
         v for _, v in sorted(melodies.items(), key=lambda kv: kv[0])
@@ -120,50 +158,81 @@ def tensorize_melodies(
                 chunk = toks[start : start + L]
                 if len(chunk) == 0:
                     continue
-                chunks.append(chunk)
+                rows.append(chunk)
                 classes.append(class_idx)
 
-    n = len(chunks)
+    n = len(rows)
     assert n > 0, "Empty sequences were found"
+    chunks = np.full((n, L), PAD_ID, dtype=np.int32)
+    for i, row in enumerate(rows):
+        chunks[i, : len(row)] = row
+    return chunks, np.asarray(classes, dtype=np.int32)
 
-    tokens = np.full((n, L + 1), PAD_ID, dtype=np.int32)
-    labels = np.full((n, L + 1), PAD_ID, dtype=np.int32)
-    seq_lens = np.zeros((n,), dtype=np.int32)
-    tokens[:, 0] = SOS_ID
-    for i, chunk in enumerate(chunks):
-        m = len(chunk)
-        tokens[i, 1 : m + 1] = chunk
-        labels[i, :m] = chunk
-        labels[i, m] = EOS_ID  # per-row EOS (intent of reference data.py:168)
-        seq_lens[i] = m + 1  # counts the SOS, matching reference seq-len math
-    return tokens, seq_lens, np.asarray(classes, dtype=np.int32), labels
+
+def layout_chunks(chunks: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SOS/EOS/seq_lens layout on HOST numpy (vectorized).
+
+    chunks (N, L) -> (tokens (N, L+1), seq_lens (N,), labels (N, L+1)).
+    Must stay equivalent to ``device_layout_chunks`` (tested).
+    """
+    n, L = chunks.shape
+    lens = np.sum(chunks != PAD_ID, axis=1)
+    tokens = np.concatenate(
+        [np.full((n, 1), SOS_ID, chunks.dtype), chunks], axis=1
+    )
+    shifted = np.concatenate(
+        [chunks, np.full((n, 1), PAD_ID, chunks.dtype)], axis=1
+    )
+    labels = np.where(np.arange(L + 1)[None, :] == lens[:, None],
+                      EOS_ID, shifted)
+    return tokens, (lens + 1).astype(np.int32), labels
+
+
+def device_layout_chunks(chunks):
+    """SOS/EOS/seq_lens layout as traceable jax ops (the device half of the
+    north-star pipeline: host MIDI decode feeds a device-side batched
+    tensorizer). Called INSIDE the jitted train/eval step, so the layout
+    fuses into the step's XLA program and the host->device transfer ships
+    only the raw (N, L) chunks.
+    """
+    import jax.numpy as jnp
+
+    n, L = chunks.shape
+    lens = jnp.sum(chunks != PAD_ID, axis=1)
+    sos = jnp.full((n, 1), SOS_ID, chunks.dtype)
+    tokens = jnp.concatenate([sos, chunks], axis=1)
+    pad_col = jnp.full((n, 1), PAD_ID, chunks.dtype)
+    shifted = jnp.concatenate([chunks, pad_col], axis=1)
+    positions = jnp.arange(L + 1)[None, :]
+    labels = jnp.where(positions == lens[:, None], EOS_ID, shifted)
+    return tokens, (lens + 1).astype(jnp.int32), labels
+
+
+def tensorize_melodies(
+    melodies: Dict[str, List[Melody]], max_seq_len: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Chunk + pad + SOS/EOS layout (reference: data.py:133-173, fixed §8.2).
+
+    Returns (tokens (N, L+1), seq_lens (N,), classes (N,), labels (N, L+1)).
+    """
+    chunks, classes = chunk_melodies(melodies, max_seq_len)
+    tokens, seq_lens, labels = layout_chunks(chunks)
+    return tokens, seq_lens, classes, labels
 
 
 def device_tensorize(chunks) -> Tuple:
-    """Jittable batched tensorization: raw PAD-padded chunks [N, L] ->
+    """Jitted batched tensorization: raw PAD-padded chunks [N, L] ->
     (tokens [N, L+1], seq_lens [N], labels [N, L+1]) on device.
 
-    The device-side half of the tokenize->tensorize pipeline: SOS prefix,
-    per-row EOS at each row's own length, PAD elsewhere — vectorized, so it
-    can run under jit/vmap and be sharded over the batch axis. Equivalent
-    to the host layout produced by ``tensorize_melodies`` (tested).
+    Standalone-jitted wrapper around ``device_layout_chunks`` (which the
+    train/eval steps inline instead, avoiding a separate dispatch).
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def _tensorize(chunks_j):
-        n, L = chunks_j.shape
-        lens = jnp.sum(chunks_j != PAD_ID, axis=1)
-        sos = jnp.full((n, 1), SOS_ID, chunks_j.dtype)
-        tokens = jnp.concatenate([sos, chunks_j], axis=1)
-        pad_col = jnp.full((n, 1), PAD_ID, chunks_j.dtype)
-        shifted = jnp.concatenate([chunks_j, pad_col], axis=1)
-        positions = jnp.arange(L + 1)[None, :]
-        labels = jnp.where(positions == lens[:, None], EOS_ID, shifted)
-        return tokens, (lens + 1).astype(jnp.int32), labels
-
-    return _tensorize(jnp.asarray(np.asarray(chunks, dtype=np.int32)))
+    return jax.jit(device_layout_chunks)(
+        jnp.asarray(np.asarray(chunks, dtype=np.int32))
+    )
 
 
 class MelodyDataset(Dataset):
@@ -179,10 +248,16 @@ class MelodyDataset(Dataset):
         melodies: Dict[str, List[Melody]],
         shuffle: bool = True,
         seed: int = 0,
+        device_layout: bool = False,
     ):
+        """``device_layout=True`` makes iteration yield ``RawBatch``es (raw
+        chunks only); the SOS/EOS/seq_lens layout then happens INSIDE the
+        jitted train/eval step (``device_layout_chunks``). The training CLI
+        uses this path; ``False`` yields fully laid-out host ``Batch``es."""
         super().__init__(batch_size)
         self.max_seq_len = maximum_sequence_length
         self.shuffle = shuffle
+        self.device_layout = device_layout
         self._rng = np.random.default_rng(seed)
         self.n_classes = len(melodies)
         self.n_melodies = sum(len(m) for m in melodies.values())
@@ -190,9 +265,13 @@ class MelodyDataset(Dataset):
             (len(m) for ms in melodies.values() for m in ms), default=0
         )
         self.class_names = sorted(melodies.keys())
-        (self.tokens, self.seq_lens, self.classes, self.labels) = tensorize_melodies(
+        self.chunks, self.classes = chunk_melodies(
             melodies, maximum_sequence_length
         )
+        if device_layout:
+            self.tokens = self.seq_lens = self.labels = None
+        else:
+            self.tokens, self.seq_lens, self.labels = layout_chunks(self.chunks)
         self._log_dataset(melodies)
 
     def _log_dataset(self, melodies) -> None:
@@ -200,7 +279,7 @@ class MelodyDataset(Dataset):
         print("Dataset information: ")
         print(f"Number of classes: {self.num_classes()}")
         print(f"Number of tokens: {self.num_tokens()}")
-        print(f"Tokens dataset shape {self.tokens.shape}")
+        print(f"Tokens dataset shape {self.chunks.shape}")
         print(f"Classes dataset shape {self.classes.shape}")
         for c, m in sorted(melodies.items()):
             print(f"Class {c} has {len(m)} melodies")
@@ -213,7 +292,7 @@ class MelodyDataset(Dataset):
         return NUM_EVENTS
 
     def num_samples(self) -> int:
-        return int(self.tokens.shape[0])
+        return int(self.chunks.shape[0])
 
     def num_batches(self) -> int:
         return -(-self.num_samples() // self.batch_size)
@@ -230,13 +309,20 @@ class MelodyDataset(Dataset):
             if n_valid < bs:
                 # wrap-pad to the static batch size (NDArrayIter 'pad')
                 idx = np.concatenate([idx, order[: bs - n_valid]])
-            yield Batch(
-                tokens=self.tokens[idx],
-                seq_lens=self.seq_lens[idx],
-                classes=self.classes[idx],
-                labels=self.labels[idx],
-                n_valid=n_valid,
-            )
+            if self.device_layout:
+                yield RawBatch(
+                    chunks=self.chunks[idx],
+                    classes=self.classes[idx],
+                    n_valid=n_valid,
+                )
+            else:
+                yield Batch(
+                    tokens=self.tokens[idx],
+                    seq_lens=self.seq_lens[idx],
+                    classes=self.classes[idx],
+                    labels=self.labels[idx],
+                    n_valid=n_valid,
+                )
 
 
 def load_dataset(
@@ -244,22 +330,22 @@ def load_dataset(
     batch_size: int,
     split_percentage: Optional[float] = None,
     loader_val=None,
+    device_layout: bool = False,
 ) -> Tuple[MelodyDataset, Optional[MelodyDataset]]:
     """Train/validation split logic (reference: data.py:201-223)."""
+
+    def make(melodies, max_len):
+        return MelodyDataset(batch_size, max_len, melodies,
+                             device_layout=device_layout)
+
     if loader_val is not None:
-        train = MelodyDataset(
-            batch_size, loader_train.max_sequence_length, loader_train.melodies
-        )
-        val = MelodyDataset(
-            batch_size, loader_val.max_sequence_length, loader_val.melodies
-        )
+        train = make(loader_train.melodies, loader_train.max_sequence_length)
+        val = make(loader_val.melodies, loader_val.max_sequence_length)
         return train, val
 
     if split_percentage is None or split_percentage <= 0.0:
         return (
-            MelodyDataset(
-                batch_size, loader_train.max_sequence_length, loader_train.melodies
-            ),
+            make(loader_train.melodies, loader_train.max_sequence_length),
             None,
         )
 
@@ -272,6 +358,6 @@ def load_dataset(
         valid_split[c] = m[:n_validation]
         train_split[c] = m[n_validation:]
     return (
-        MelodyDataset(batch_size, loader_train.max_sequence_length, train_split),
-        MelodyDataset(batch_size, loader_train.max_sequence_length, valid_split),
+        make(train_split, loader_train.max_sequence_length),
+        make(valid_split, loader_train.max_sequence_length),
     )

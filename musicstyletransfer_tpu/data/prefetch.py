@@ -16,7 +16,7 @@ from typing import Iterable, Iterator, Optional
 
 import jax
 
-from .dataset import Batch
+from .dataset import Batch, RawBatch
 
 _SENTINEL = object()
 
@@ -39,7 +39,15 @@ def prefetch_batches(
     # contexts are thread-local and would not apply inside the producer.
     target = sharding if sharding is not None else jax.config.jax_default_device
 
-    def stage(batch: Batch) -> Batch:
+    def stage(batch):
+        if isinstance(batch, RawBatch):
+            arrays = (batch.chunks, batch.classes)
+            chunks, classes = (
+                jax.device_put(arrays, target) if target is not None
+                else jax.device_put(arrays)
+            )
+            return RawBatch(chunks=chunks, classes=classes,
+                            n_valid=batch.n_valid)
         arrays = (batch.tokens, batch.seq_lens, batch.classes, batch.labels)
         if target is not None:
             tokens, seq_lens, classes, labels = jax.device_put(arrays, target)

@@ -83,13 +83,17 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted train step.
 
-    Returns step(state, metric_acc, tokens, seq_lens, classes, labels) ->
-    (state, metric_acc') where metric_acc is a dict of on-device
-    (sum, count) scalars ACCUMULATED across steps. Passing ``None`` starts
-    from zeros (per-step metrics). Keeping accumulation inside the jitted
-    program means the hot loop never syncs with the host — metrics are
-    fetched only at log boundaries (the reference syncs per step via
-    .asscalar(), trainer.py:181-186).
+    Returns step(state, metric_acc, *inputs) -> (state, metric_acc') where
+    ``inputs`` is either the host layout (tokens, seq_lens, classes, labels)
+    or the device layout (chunks, classes) — with the latter, the
+    SOS/EOS/seq_lens tensorization runs INSIDE the jitted program
+    (``device_layout_chunks``), fusing into the step and shipping half the
+    bytes to the device. metric_acc is a dict of on-device (sum, count)
+    scalars ACCUMULATED across steps. Passing ``None`` starts from zeros
+    (per-step metrics). Keeping accumulation inside the jitted program
+    means the hot loop never syncs with the host — metrics are fetched
+    only at log boundaries (the reference syncs per step via .asscalar(),
+    trainer.py:181-186).
     """
 
     def step_fn(
@@ -157,10 +161,18 @@ def make_train_step(
         )
         return new_state, new_acc
 
+    def raw_step_fn(state, metric_acc, chunks, classes):
+        from ..data.dataset import device_layout_chunks
+
+        tokens, seq_lens, labels = device_layout_chunks(chunks)
+        return step_fn(state, metric_acc, tokens, seq_lens, classes, labels)
+
     jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    jitted_raw = jax.jit(raw_step_fn, donate_argnums=(0, 1))
     data_sh = batch_sharding(mesh) if mesh is not None else None
 
-    def run(state, metric_acc, tokens, seq_lens, classes, labels):
+    def run(state, metric_acc, *inputs):
+        fn = jitted if len(inputs) == 4 else jitted_raw
         if metric_acc is None:
             # Missing keys are treated as zero inside step_fn, so an empty
             # dict starts a fresh accumulation period (the structure grows
@@ -168,18 +180,15 @@ def make_train_step(
             metric_acc = {}
         if data_sh is not None:
             # Pre-partition the host->device transfer over the data axis.
-            tokens, seq_lens, classes, labels = jax.device_put(
-                (tokens, seq_lens, classes, labels), data_sh
-            )
+            inputs = jax.device_put(inputs, data_sh)
         if mesh is not None:
             # Expose the mesh to trace-time sharding constraints
             # (e.g. sequence parallelism in TransformerStack).
             from ..parallel.mesh import use_mesh
 
             with use_mesh(mesh):
-                return jitted(state, metric_acc, tokens, seq_lens, classes,
-                              labels)
-        return jitted(state, metric_acc, tokens, seq_lens, classes, labels)
+                return fn(state, metric_acc, *inputs)
+        return fn(state, metric_acc, *inputs)
 
     return run
 
@@ -236,6 +245,15 @@ def make_eval_step(model: StyleVAE, loss_config: LossConfig) -> Callable:
         logits, mu, logvar = model.apply(
             {"params": params}, tokens, seq_lens, classes, train=False
         )
+        return _eval_metrics(logits, mu, logvar, labels, n_valid)
+
+    def raw_eval_fn(params, chunks, classes, n_valid):
+        from ..data.dataset import device_layout_chunks
+
+        tokens, seq_lens, labels = device_layout_chunks(chunks)
+        return eval_fn(params, tokens, seq_lens, classes, labels, n_valid)
+
+    def _eval_metrics(logits, mu, logvar, labels, n_valid):
         B = labels.shape[0]
         row_mask = jnp.arange(B) < n_valid
         labels = jnp.where(row_mask[:, None], labels, PAD_ID)
@@ -253,4 +271,12 @@ def make_eval_step(model: StyleVAE, loss_config: LossConfig) -> Callable:
         )
         return metrics
 
-    return jax.jit(eval_fn)
+    jitted = jax.jit(eval_fn)
+    jitted_raw = jax.jit(raw_eval_fn)
+
+    def run(params, *inputs):
+        # (tokens, seq_lens, classes, labels, n_valid) host layout, or
+        # (chunks, classes, n_valid) device layout.
+        return (jitted if len(inputs) == 5 else jitted_raw)(params, *inputs)
+
+    return run

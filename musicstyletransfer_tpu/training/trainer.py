@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..data.dataset import Batch, Dataset
+from ..data.dataset import Batch, Dataset, RawBatch
 from ..models.vae import StyleVAE
 from . import checkpoint as ckpt
 from .metrics import MetricAccumulator
@@ -202,7 +202,8 @@ class Trainer:
                 ):
                     self.sampler.update_parameters(self.state.params)
                     self.sampler.process_batch(
-                        batch,
+                        batch.to_batch() if isinstance(batch, RawBatch)
+                        else batch,
                         os.path.join(
                             model_folder, f"samples/step-{self.progress.n_batches}"
                         ),
@@ -211,14 +212,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _step(self, batch: Batch) -> None:
-        self.state, self._metric_acc = self.train_step(
-            self.state,
-            self._metric_acc,
+    @staticmethod
+    def _step_inputs(batch):
+        if isinstance(batch, RawBatch):
+            # Device-layout path: ship raw chunks; SOS/EOS/seq_lens happen
+            # inside the jitted step.
+            return (jnp.asarray(batch.chunks), jnp.asarray(batch.classes))
+        return (
             jnp.asarray(batch.tokens),
             jnp.asarray(batch.seq_lens),
             jnp.asarray(batch.classes),
             jnp.asarray(batch.labels),
+        )
+
+    def _step(self, batch) -> None:
+        self.state, self._metric_acc = self.train_step(
+            self.state, self._metric_acc, *self._step_inputs(batch)
         )
 
     def _drain_metrics(self) -> dict:
@@ -236,10 +245,7 @@ class Trainer:
         for batch in validation_dataset:
             metrics = self.eval_step(
                 self.state.params,
-                jnp.asarray(batch.tokens),
-                jnp.asarray(batch.seq_lens),
-                jnp.asarray(batch.classes),
-                jnp.asarray(batch.labels),
+                *self._step_inputs(batch),
                 jnp.asarray(batch.num_valid, jnp.int32),
             )
             acc.update(jax.device_get(metrics))

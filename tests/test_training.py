@@ -229,6 +229,68 @@ class TestPrefetch:
 
 
 class TestDeviceTensorizer:
+    def test_device_layout_training_matches_host_path(self):
+        """The REAL pipeline wiring: MelodyDataset(device_layout=True)
+        yields RawBatches, the jitted step tensorizes on device, and the
+        resulting training trajectory is identical to the host layout."""
+        from musicstyletransfer_tpu.data import RawBatch
+
+        mel = {"a": [Melody(tokens=np.arange(10, 52, dtype=np.int32))],
+               "b": [Melody(tokens=np.arange(12, 40, dtype=np.int32))]}
+        ds_host = MelodyDataset(4, 4, mel, seed=3)
+        ds_dev = MelodyDataset(4, 4, mel, seed=3, device_layout=True)
+
+        cfg = tiny_config(vocab=60, classes=2, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        step = make_train_step(model, tx, LossConfig())
+
+        def run(ds):
+            state = create_train_state(params, tx, jax.random.key(7))
+            m = None
+            for batch in ds:
+                if isinstance(batch, RawBatch):
+                    args = (jnp.asarray(batch.chunks),
+                            jnp.asarray(batch.classes))
+                else:
+                    args = tuple(jnp.asarray(a) for a in (
+                        batch.tokens, batch.seq_lens, batch.classes,
+                        batch.labels))
+                state, m = step(state, m, *args)
+            return state, m
+
+        s0, m0 = run(ds_host)
+        s1, m1 = run(ds_dev)
+        np.testing.assert_allclose(
+            float(m0["total_loss"][0]), float(m1["total_loss"][0]), rtol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_eval_step_raw_matches_host(self):
+        from musicstyletransfer_tpu.training import make_eval_step
+
+        mel = {"a": [Melody(tokens=np.arange(10, 50, dtype=np.int32))]}
+        ds_host = MelodyDataset(3, 4, mel, shuffle=False)
+        ds_dev = MelodyDataset(3, 4, mel, shuffle=False, device_layout=True)
+        cfg = tiny_config(vocab=60, classes=1, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        ev = make_eval_step(model, LossConfig())
+        for bh, bd in zip(ds_host, ds_dev):
+            nv = jnp.asarray(bh.num_valid, jnp.int32)
+            mh = ev(params, jnp.asarray(bh.tokens), jnp.asarray(bh.seq_lens),
+                    jnp.asarray(bh.classes), jnp.asarray(bh.labels), nv)
+            md = ev(params, jnp.asarray(bd.chunks), jnp.asarray(bd.classes),
+                    nv)
+            for k in mh:
+                np.testing.assert_allclose(
+                    float(mh[k][0]), float(md[k][0]), rtol=1e-6, err_msg=k
+                )
+
     def test_matches_host_layout(self):
         from musicstyletransfer_tpu.data import device_tensorize
 
