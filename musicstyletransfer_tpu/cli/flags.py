@@ -112,6 +112,18 @@ def build_parser() -> argparse.ArgumentParser:
                      help="rematerialize transformer layers in backward")
     tpu.add_argument("--length-penalty", type=float, default=0.0,
                      help="beam-search length normalization alpha (0 = off)")
+
+    dist = parser.add_argument_group(
+        "Distributed (multi-process / multi-host; parallel/distributed.py)"
+    )
+    dist.add_argument("--dist-coordinator", type=str, default=None,
+                      help="coordinator host:port; presence enables "
+                           "jax.distributed multi-process mode")
+    dist.add_argument("--dist-num-processes", type=int, default=1)
+    dist.add_argument("--dist-process-id", type=int, default=0)
+    dist.add_argument("--dist-num-cpu-devices", type=int, default=None,
+                      help="virtual CPU devices per process (CPU fleets "
+                           "only; inert on TPU pods)")
     return parser
 
 

@@ -169,6 +169,17 @@ def main(argv=None) -> None:
     except Exception:
         pass
 
+    if args.dist_coordinator:
+        # Multi-process mode: must run before any backend is touched.
+        from ..parallel import initialize_distributed
+
+        initialize_distributed(
+            args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id,
+            num_cpu_devices=args.dist_num_cpu_devices,
+        )
+
     if args.toy:
         main_toy(args)
         return
@@ -214,6 +225,18 @@ def main(argv=None) -> None:
     if mesh is not None:
         print(f"Mesh: {dict(mesh.shape)}")
 
+    dist = None
+    if args.dist_coordinator:
+        from ..parallel import ProcessShardedDataset, mesh_process_info
+
+        assert mesh is not None, "distributed mode needs a multi-device mesh"
+        dist = mesh_process_info(mesh)
+        print(f"Process {dist.index + 1}/{dist.count} "
+              f"(global batch {train_dataset.batch_size})")
+        train_dataset = ProcessShardedDataset(train_dataset, dist)
+        # validation stays unwrapped: every process iterates the full set
+        # and slices its rows (Trainer._eval_pass).
+
     from ..inference.sampler import get_sampler
 
     # The reference hardcodes 'sampling' here (main.py:156) even though it
@@ -221,7 +244,7 @@ def main(argv=None) -> None:
     sampler = get_sampler(args.sampling_type, args.model_output, None, args)
 
     trainer = Trainer(create_train_config(args), model, params,
-                      sampler=sampler, mesh=mesh)
+                      sampler=sampler, mesh=mesh, dist=dist)
     trainer.fit(
         dataset=train_dataset,
         validation_dataset=valid_dataset,

@@ -9,12 +9,24 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .distributed import (
+    ProcessInfo,
+    ProcessShardedDataset,
+    initialize_distributed,
+    make_global_batch,
+    mesh_process_info,
+)
 
 __all__ = [
     "AXIS_DATA",
     "AXIS_MODEL",
+    "ProcessInfo",
+    "ProcessShardedDataset",
     "batch_sharding",
+    "initialize_distributed",
+    "make_global_batch",
     "make_mesh",
+    "mesh_process_info",
     "param_shardings",
     "param_spec",
     "replicated",

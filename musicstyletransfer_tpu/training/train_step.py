@@ -180,7 +180,13 @@ def make_train_step(
             metric_acc = {}
         if data_sh is not None:
             # Pre-partition the host->device transfer over the data axis.
-            inputs = jax.device_put(inputs, data_sh)
+            # Inputs already carrying the right sharding (multi-process
+            # global arrays assembled by the caller) pass through untouched.
+            inputs = tuple(
+                x if isinstance(x, jax.Array) and x.sharding == data_sh
+                else jax.device_put(x, data_sh)
+                for x in inputs
+            )
         if mesh is not None:
             # Expose the mesh to trace-time sharding constraints
             # (e.g. sequence parallelism in TransformerStack).
@@ -195,9 +201,16 @@ def make_train_step(
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
     """Place a TrainState onto a mesh: params (and the matching adam
-    moments) follow the tensor-parallel rules; scalars are replicated."""
+    moments) follow the tensor-parallel rules; scalars are replicated.
+    Works for meshes spanning multiple processes (every process holds the
+    same deterministic init, so per-process shard placement is valid)."""
+    from ..parallel.distributed import global_device_put
+
     p_sh = param_shardings(state.params, mesh)
     repl = replicated(mesh)
+
+    def put(tree, shardings):
+        return jax.tree.map(global_device_put, tree, shardings)
 
     def shard_opt(opt_state):
         def _one(node):
@@ -205,8 +218,8 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
                 jax.tree_util.tree_structure(node)
                 == jax.tree_util.tree_structure(state.params)
             ):
-                return jax.device_put(node, p_sh)
-            return jax.device_put(node, repl)
+                return put(node, p_sh)
+            return jax.tree.map(lambda x: global_device_put(x, repl), node)
 
         # optax states are tuples/namedtuples whose fields are either
         # param-shaped trees (mu, nu) or scalars (count).
@@ -217,11 +230,14 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
             == jax.tree_util.tree_structure(state.params),
         )
 
+    # PRNG keys (extended dtypes) can't round-trip through numpy; move the
+    # raw key data instead.
+    rng_data = global_device_put(jax.random.key_data(state.rng), repl)
     return TrainState(
-        step=jax.device_put(state.step, repl),
-        params=jax.device_put(state.params, p_sh),
+        step=global_device_put(state.step, repl),
+        params=put(state.params, p_sh),
         opt_state=shard_opt(state.opt_state),
-        rng=jax.device_put(state.rng, repl),
+        rng=jax.random.wrap_key_data(rng_data),
     )
 
 

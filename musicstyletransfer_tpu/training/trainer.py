@@ -77,11 +77,29 @@ class Trainer:
         params,
         sampler=None,
         mesh=None,
+        dist=None,
     ):
+        """``dist``: a parallel.distributed.ProcessInfo for multi-process
+        runs (mesh then spans processes; fit() consumes a
+        ProcessShardedDataset, assembles global batches, checkpoints on the
+        primary process only, and skips in-training sampling)."""
         self.config = config
         self.model = model
         self.sampler = sampler
         self.mesh = mesh
+        self.dist = dist
+        if dist is not None:
+            assert mesh is not None, "distributed training requires a mesh"
+            if config.prefetch:
+                # Prefetch device_puts to the default device / global
+                # sharding, neither of which is right for per-process
+                # slices; global assembly happens in _step instead.
+                config = dataclasses.replace(config, prefetch=0)
+                self.config = config
+            if sampler is not None and config.sampling_frequency > 0:
+                print("Distributed run: in-training sampling disabled "
+                      "(per-process decode of global arrays is unsupported)")
+                self.sampler = None
 
         self.tx = build_optimizer(config.optimizer)
         if config.grad_accum_steps > 1:
@@ -212,18 +230,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _step_inputs(batch):
+    def _step_inputs(self, batch):
         if isinstance(batch, RawBatch):
             # Device-layout path: ship raw chunks; SOS/EOS/seq_lens happen
             # inside the jitted step.
-            return (jnp.asarray(batch.chunks), jnp.asarray(batch.classes))
-        return (
-            jnp.asarray(batch.tokens),
-            jnp.asarray(batch.seq_lens),
-            jnp.asarray(batch.classes),
-            jnp.asarray(batch.labels),
-        )
+            arrays = (batch.chunks, batch.classes)
+        else:
+            arrays = (batch.tokens, batch.seq_lens, batch.classes,
+                      batch.labels)
+        if self.dist is not None:
+            # batch holds THIS process's slice; assemble global jax.Arrays
+            # sharded over the mesh's data axis.
+            from ..parallel.distributed import make_global_batch
+
+            return make_global_batch(
+                arrays, self.mesh, batch.batch_size * self.dist.count
+            )
+        return tuple(jnp.asarray(a) for a in arrays)
 
     def _step(self, batch) -> None:
         self.state, self._metric_acc = self.train_step(
@@ -241,12 +264,27 @@ class Trainer:
         return acc.get()
 
     def _eval_pass(self, validation_dataset: Dataset) -> float:
+        # Distributed: every process iterates the FULL validation set (pass
+        # it unwrapped), slices its rows, and assembles global arrays; the
+        # global n_valid stays known on every process.
+        dist_slice = None
+        if self.dist is not None:
+            from ..parallel.distributed import _slice_batch
+
+            def dist_slice(batch):
+                rows = batch.batch_size // self.dist.count
+                lo = self.dist.index * rows
+                return _slice_batch(batch, lo, lo + rows)
+
         acc = MetricAccumulator()
         for batch in validation_dataset:
+            n_valid = batch.num_valid
+            if dist_slice is not None:
+                batch = dist_slice(batch)
             metrics = self.eval_step(
                 self.state.params,
                 *self._step_inputs(batch),
-                jnp.asarray(batch.num_valid, jnp.int32),
+                jnp.asarray(n_valid, jnp.int32),
             )
             acc.update(jax.device_get(metrics))
         vals = acc.get()
@@ -260,9 +298,13 @@ class Trainer:
     def _checkpoint(self, model_folder: str, validation_dataset) -> None:
         self.progress.n_checkpoints += 1
         print(f"\nCheckpoint {self.progress.n_checkpoints} reached.")
-        ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints,
-                             self.state, checkpointer=self.checkpointer)
-        self.progress.save(model_folder)
+        if self.dist is None or self.dist.is_primary:
+            # Multi-process: the primary writes; with DP the params are
+            # replicated so its host copy is complete. (Cross-process TP
+            # checkpointing would need orbax multihost—documented limit.)
+            ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints,
+                                 self.state, checkpointer=self.checkpointer)
+            self.progress.save(model_folder)
         self._metric_acc = None  # reset running metrics (trainer.py:210)
 
         if validation_dataset is None:
@@ -284,7 +326,8 @@ class Trainer:
                 f"checkpoints"
             )
             print(f"Best loss thus far: {self.progress.best_reconstruction_loss}")
-        self.progress.save(model_folder)
+        if self.dist is None or self.dist.is_primary:
+            self.progress.save(model_folder)
 
     def _load_latest_checkpoint(self, model_folder: str) -> None:
         print(f"Looking into folder {model_folder} for a valid training.")

@@ -1,0 +1,96 @@
+"""Real 2-process distributed CPU test (SURVEY.md §5.8 DCN readiness /
+round-1 VERDICT missing #4): two OS processes, gloo collectives, 2 virtual
+CPU devices each, data-parallel training through the REAL Trainer with
+process-sharded data loading and global-array assembly. Both processes must
+agree with each other bitwise and with a single-process run numerically."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "dist_worker.py")
+STEPS = 6
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def dist_results():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), f"localhost:{port}",
+             str(STEPS)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+class TestTwoProcessTraining:
+    def test_processes_agree_bitwise(self, dist_results):
+        a, b = dist_results
+        assert a["steps"] == b["steps"] == STEPS
+        assert a["param_checksum"] == b["param_checksum"]
+        assert a["mean_total_loss"] == b["mean_total_loss"]
+
+    def test_matches_single_process_run(self, dist_results):
+        """Same data, same seeds, single process on the 8-device CPU mesh."""
+        from musicstyletransfer_tpu.data import MelodyDataset
+        from musicstyletransfer_tpu.midi.codec import Melody
+        from musicstyletransfer_tpu.models import init_params, make_model
+        from musicstyletransfer_tpu.parallel import make_mesh
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+        from tests.test_model import tiny_config
+
+        mel = {"a": [Melody(tokens=np.arange(10, 52, dtype=np.int32))],
+               "b": [Melody(tokens=np.arange(12, 44, dtype=np.int32))]}
+        ds = MelodyDataset(4, 4, mel, seed=11)
+        cfg = tiny_config(vocab=60, classes=2, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        mesh = make_mesh(jax.devices("cpu")[:4], tp=1)
+        tcfg = TrainConfig(batch_size=4, sampling_frequency=0,
+                           checkpoint_frequency=10 ** 9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/dist-ref-tb", log_every=10 ** 9)
+        t = Trainer(tcfg, model, params, sampler=None, mesh=mesh)
+        n = 0
+        while n < STEPS:
+            for batch in ds:
+                t._step(batch)
+                n += 1
+                if n >= STEPS:
+                    break
+        vals = t._drain_metrics()
+        checksum = float(
+            sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree.leaves(jax.device_get(t.state.params)))
+        )
+        a = dist_results[0]
+        np.testing.assert_allclose(
+            a["mean_total_loss"], vals["total_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(a["param_checksum"], checksum, rtol=1e-4)
