@@ -88,6 +88,11 @@ class TransformerConfig(Config):
     ffn_multiplier: int = 4
     max_positions: int = 10000  # positional table size (transformer.py:217)
     use_flash_attention: bool = False  # Pallas fused attention on TPU
+    # Flash engages only at sequence lengths where it beats XLA's fused
+    # attention (measured fwd+bwd on v5e, causal bf16 D=64: 0.90x at T=512,
+    # 1.12x at 1024, 1.51x at 2048, 2.12x at 4096); below this the dense
+    # path runs even with use_flash_attention=True. Set 0 to force flash.
+    flash_min_seq_len: int = 1024
     # Sequence parallelism: constrain activations to shard the time axis
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.

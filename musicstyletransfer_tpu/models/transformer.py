@@ -83,6 +83,8 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     causal: bool = False
     use_flash: bool = False
+    # Flash only pays off past this length (measured; see TransformerConfig).
+    flash_min_seq_len: int = 1024
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
@@ -101,7 +103,7 @@ class MultiHeadSelfAttention(nn.Module):
         q = self._heads(self.w_q(x))
         k = self._heads(self.w_k(x))
         v = self._heads(self.w_v(x))
-        if self.use_flash:
+        if self.use_flash and x.shape[1] >= self.flash_min_seq_len:
             from ..ops.flash_attention import flash_attention, should_interpret
 
             interpret = should_interpret()
@@ -175,6 +177,7 @@ class TransformerLayer(nn.Module):
             num_heads=c.num_heads,
             causal=self.causal,
             use_flash=c.use_flash_attention,
+            flash_min_seq_len=getattr(c, "flash_min_seq_len", 1024),
             dtype=self.dtype,
         )
         self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")

@@ -13,9 +13,10 @@ sequences would move K/V blocks through HBM DMA — future work).
 Training: wrapped in jax.custom_vjp; the backward pass is its own pair of
 Pallas kernels (dQ, then dK/dV) that recompute probability blocks from the
 saved per-row logsumexp — rematerializing FLOPs to keep memory O(T), the
-right trade on TPU where HBM bandwidth is the bottleneck. Measured on v5e
-(causal, bf16, D=32): beats plain XLA attention at every length tried,
-up to 2.9x at T=4096.
+right trade on TPU where HBM bandwidth is the bottleneck. Measured fwd+bwd
+on v5e (causal, bf16, B=8 H=8 D=64, BENCH_r02): 0.90x vs XLA at T=512,
+1.12x at 1024, 1.51x at 2048, 2.12x at 4096 — the model layer therefore
+engages flash only at T >= TransformerConfig.flash_min_seq_len (1024).
 
 Numerical contract: matches ``reference_attention`` (plain XLA) to ~1e-5
 (f32); tests run the kernel in interpreter mode on CPU.

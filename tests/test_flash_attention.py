@@ -73,7 +73,9 @@ class TestFlashInModel:
         cfg_dense = tiny_config(vocab=10, classes=3, latent=8, size=16,
                                 heads=2, layers=1)
         tc_flash = dataclasses.replace(
-            cfg_dense.encoder_config.transformer_config, use_flash_attention=True
+            cfg_dense.encoder_config.transformer_config,
+            use_flash_attention=True,
+            flash_min_seq_len=0,  # force flash at tiny test lengths
         )
         cfg_flash = dataclasses.replace(
             cfg_dense,
