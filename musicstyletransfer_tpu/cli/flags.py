@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-dimension KL floor (posterior-collapse guard)")
     tpu.add_argument("--remat", action="store_true",
                      help="rematerialize transformer layers in backward")
+    tpu.add_argument("--rng-impl", default="rbg",
+                     choices=["rbg", "unsafe_rbg", "threefry2x32"],
+                     help="training PRNG; rbg = TPU hardware RNG (1.6x "
+                          "faster scaled-config steps), threefry2x32 = "
+                          "cross-platform bit-reproducible")
     tpu.add_argument("--length-penalty", type=float, default=0.0,
                      help="beam-search length normalization alpha (0 = off)")
 

@@ -97,6 +97,7 @@ def create_train_config(args) -> TrainConfig:
         grad_accum_steps=args.grad_accum_steps,
         log_param_grad_norms=args.log_param_grad_norms,
         profile_dir=args.profile_dir,
+        rng_impl=args.rng_impl,
     )
 
 

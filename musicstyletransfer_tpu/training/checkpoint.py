@@ -113,7 +113,12 @@ def restore_checkpoint(
         step=jax.numpy.asarray(restored["step"]),
         params=restored["params"],
         opt_state=restored["opt_state"],
-        rng=jax.random.wrap_key_data(jax.numpy.asarray(restored["rng"])),
+        # Keep the template's PRNG impl (rbg key data is (4,) uint32,
+        # threefry (2,) — wrap_key_data defaults to threefry).
+        rng=jax.random.wrap_key_data(
+            jax.numpy.asarray(restored["rng"]),
+            impl=jax.random.key_impl(template.rng),
+        ),
     )
 
 

@@ -231,13 +231,15 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
         )
 
     # PRNG keys (extended dtypes) can't round-trip through numpy; move the
-    # raw key data instead.
+    # raw key data instead (re-wrapped with the same impl).
     rng_data = global_device_put(jax.random.key_data(state.rng), repl)
     return TrainState(
         step=global_device_put(state.step, repl),
         params=put(state.params, p_sh),
         opt_state=shard_opt(state.opt_state),
-        rng=jax.random.wrap_key_data(rng_data),
+        rng=jax.random.wrap_key_data(
+            rng_data, impl=jax.random.key_impl(state.rng)
+        ),
     )
 
 

@@ -67,6 +67,12 @@ class TrainConfig:
     # Gradient accumulation: apply the optimizer every k steps
     # (optax.MultiSteps); effective batch = k * batch_size.
     grad_accum_steps: int = 1
+    # PRNG implementation for training randomness (dropout masks, z
+    # sampling). "rbg" uses the TPU's hardware RNG — threefry dropout-mask
+    # generation cost 45% of the scaled config's step time (26.5 -> 16.7
+    # ms/step measured on v5e). Use "threefry2x32" for cross-platform
+    # bit-reproducibility.
+    rng_impl: str = "rbg"
 
 
 class Trainer:
@@ -120,7 +126,7 @@ class Trainer:
         )
         self.eval_step = make_eval_step(model, loss_cfg)
         self.state = create_train_state(
-            params, self.tx, jax.random.key(config.seed)
+            params, self.tx, jax.random.key(config.seed, impl=config.rng_impl)
         )
         if mesh is not None:
             self.state = shard_train_state(self.state, mesh)

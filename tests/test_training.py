@@ -166,6 +166,25 @@ class TestTrainLoop:
         assert last < first * 0.5, (first, last)
         assert acc >= 0.75, acc
 
+    def test_checkpoint_roundtrip_rbg_keys(self, tmp_path):
+        """The trainer's default PRNG is rbg (TPU hardware RNG; key data
+        (4,) uint32, not threefry's (2,)) — checkpoints must round-trip it."""
+        cfg = tiny_config()
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        state = create_train_state(params, tx, jax.random.key(1, impl="rbg"))
+        save_checkpoint(str(tmp_path), 1, state)
+        template = create_train_state(params, tx, jax.random.key(9, impl="rbg"))
+        restored = restore_checkpoint(str(tmp_path), 1, template)
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(restored.rng)),
+            np.asarray(jax.random.key_data(state.rng)),
+        )
+        assert str(jax.random.key_impl(restored.rng)) == str(
+            jax.random.key_impl(state.rng)
+        )
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = tiny_config()
         model = make_model(cfg)
