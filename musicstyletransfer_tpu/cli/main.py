@@ -163,12 +163,9 @@ def main_toy(args, epochs: int = 20000) -> None:
 def main(argv=None) -> None:
     args = get_config(argv)
 
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/mst-jax-cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from ..utils import configure_jax_cache
+
+    configure_jax_cache()
 
     if args.dist_coordinator:
         # Multi-process mode: must run before any backend is touched.

@@ -6,8 +6,6 @@ Reference: VarAutoEncoder/sampler.py:259-296 (sample_toy + main).
 
 from __future__ import annotations
 
-import os
-
 import jax
 
 from ..data import Loader, MelodyDataset, ToyData
@@ -18,12 +16,9 @@ from .flags import get_config
 def _setup_jax(args) -> None:
     """Compile cache + optional CPU pin (the axon TPU plugin registers even
     under JAX_PLATFORMS=cpu, so --cpu must pin the default device)."""
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/mst-jax-cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from ..utils import configure_jax_cache
+
+    configure_jax_cache()
     if getattr(args, "cpu", False):
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 

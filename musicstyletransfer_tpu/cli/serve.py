@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from ..utils import configure_jax_cache
+
+    configure_jax_cache()
     os.makedirs(args.out_samples, exist_ok=True)
     svc = StyleTransferService(
         args.model_output,

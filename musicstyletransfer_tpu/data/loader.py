@@ -45,7 +45,11 @@ class Loader:
         directories = next(os.walk(self.path))[1]
         for directory in sorted(directories):
             melodies[directory] = []
-            files = glob.glob(os.path.join(self.path, directory, "*.mid"))
+            # Sorted: glob order is filesystem-dependent, and multi-process
+            # training requires every process to build the IDENTICAL
+            # melody ordering (validation splits and batch streams derive
+            # from it).
+            files = sorted(glob.glob(os.path.join(self.path, directory, "*.mid")))
             for fname in files:
                 melody = self.midi_reader.read_file(fname)[0]
                 melodies[directory].append(melody)

@@ -119,29 +119,68 @@ def make_global_batch(local: Any, mesh, global_batch: int) -> Any:
 
     ``local`` is a pytree of host arrays holding THIS process's rows — the
     contiguous slice [index * k, (index + 1) * k) of the global batch in
-    mesh-device order, k = global_batch / process count. Uses
-    `make_array_from_single_device_arrays` directly because the
-    process-local convenience wrapper consults the DEFAULT backend's process
-    count (wrong under the axon plugin, see module docstring).
+    mesh-device order, k = global_batch / process count. Shard placement
+    follows ``sharding.addressable_devices_indices_map``, which handles
+    replication across the model axis (tp > 1: several devices hold the
+    same data block). Uses `make_array_from_single_device_arrays` directly
+    because the process-local convenience wrapper consults the DEFAULT
+    backend's process count (wrong under the axon plugin, see module
+    docstring).
     """
     sharding = batch_sharding(mesh)
 
     def one(x):
         x = np.asarray(x)
         global_shape = (global_batch,) + x.shape[1:]
-        addr = sorted(sharding.addressable_devices, key=lambda d: d.id)
-        if x.shape[0] % len(addr) != 0:
+        idx_map = sharding.addressable_devices_indices_map(global_shape)
+        row_slices = {
+            d: (idx[0].start or 0, idx[0].stop if idx[0].stop is not None
+                else global_batch)
+            for d, idx in idx_map.items()
+        }
+        lo = min(s for s, _ in row_slices.values())
+        hi = max(e for _, e in row_slices.values())
+        if hi - lo != x.shape[0]:
             raise ValueError(
-                f"local rows {x.shape[0]} not divisible by "
-                f"{len(addr)} addressable devices"
+                f"local rows {x.shape[0]} do not cover this process's "
+                f"global slice [{lo}, {hi})"
             )
-        pieces = np.split(x, len(addr), axis=0)
-        shards = [jax.device_put(p, d) for p, d in zip(pieces, addr)]
+        shards = [
+            jax.device_put(x[s - lo : e - lo], d)
+            for d, (s, e) in row_slices.items()
+        ]
         return jax.make_array_from_single_device_arrays(
             global_shape, sharding, shards
         )
 
     return jax.tree.map(one, local)
+
+
+def assert_in_sync(mesh, value: float, what: str) -> None:
+    """Verify every participating process computed the same ``value`` (a
+    real cross-process collective — catches e.g. a resume where only the
+    primary found a checkpoint because model_folder is not shared)."""
+    import jax.numpy as jnp
+
+    from .mesh import AXIS_DATA
+
+    info = mesh_process_info(mesh)
+    if info.count == 1:
+        return
+    data_size = int(mesh.shape[AXIS_DATA])
+    rows = data_size // info.count
+    if rows == 0 or data_size % info.count:
+        return  # degenerate mesh: cannot build a per-process row block
+    g = make_global_batch(
+        np.full((rows,), value, np.float32), mesh, data_size
+    )
+    spread = float(jnp.max(g) - jnp.min(g))
+    if spread != 0.0:
+        raise RuntimeError(
+            f"processes disagree on {what} (spread {spread}); in "
+            "multi-process runs model_folder (and the corpus) must be "
+            "shared storage visible to every process"
+        )
 
 
 class ProcessShardedDataset:

@@ -97,27 +97,46 @@ def save_checkpoint(
         ckptr.wait_until_finished()
 
 
+def _impl_for_key_data(shape, template_rng):
+    """PRNG impl for stored key data: prefer the template's impl when the
+    shapes agree; otherwise infer from the data width so checkpoints
+    written under a different default (e.g. threefry runs predating the
+    rbg default) keep resuming with THEIR impl instead of failing."""
+    template_impl = jax.random.key_impl(template_rng)
+    template_shape = jax.random.key_data(template_rng).shape
+    if tuple(shape) == tuple(template_shape):
+        return template_impl
+    width = shape[-1] if shape else 0
+    by_width = {2: "threefry2x32", 4: "rbg"}
+    if width not in by_width:
+        raise ValueError(f"unrecognized PRNG key data shape {shape}")
+    return by_width[width]
+
+
 def restore_checkpoint(
     model_folder: str, index: int, template: TrainState
 ) -> TrainState:
     path = checkpoint_path(model_folder, index)
     ckptr = ocp.StandardCheckpointer()
+    # rng: take shape/dtype from the CHECKPOINT (impls differ in key-data
+    # width: threefry (2,), rbg (4,)) so old runs restore under a new
+    # default impl.
+    meta = ckptr.metadata(path).item_metadata
+    rng_meta = meta["rng"]
     target = {
         "step": np.asarray(template.step),
         "params": jax.device_get(template.params),
         "opt_state": jax.device_get(template.opt_state),
-        "rng": jax.device_get(jax.random.key_data(template.rng)),
+        "rng": jax.ShapeDtypeStruct(rng_meta.shape, rng_meta.dtype),
     }
     restored = ckptr.restore(path, target)
     return TrainState(
         step=jax.numpy.asarray(restored["step"]),
         params=restored["params"],
         opt_state=restored["opt_state"],
-        # Keep the template's PRNG impl (rbg key data is (4,) uint32,
-        # threefry (2,) — wrap_key_data defaults to threefry).
         rng=jax.random.wrap_key_data(
             jax.numpy.asarray(restored["rng"]),
-            impl=jax.random.key_impl(template.rng),
+            impl=_impl_for_key_data(rng_meta.shape, template.rng),
         ),
     )
 

@@ -75,6 +75,14 @@ class TrainConfig:
     rng_impl: str = "rbg"
 
 
+class _NullWriter:
+    def add_scalar(self, *a, **k) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 class Trainer:
     def __init__(
         self,
@@ -151,10 +159,18 @@ class Trainer:
     @property
     def writer(self):
         if self._writer is None:
-            from tensorboardX import SummaryWriter
-
             os.makedirs(self.config.logdir, exist_ok=True)
-            self._writer = SummaryWriter(logdir=self.config.logdir, flush_secs=5)
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(logdir=self.config.logdir,
+                                             flush_secs=5)
+            except ImportError:
+                # tensorboardX is an optional extra; training proceeds with
+                # stdout logging only.
+                print("tensorboardX not installed; TensorBoard scalars "
+                      "disabled (pip install musicstyletransfer-tpu[logging])")
+                self._writer = _NullWriter()
         return self._writer
 
     # ------------------------------------------------------------------
@@ -338,25 +354,45 @@ class Trainer:
     def _load_latest_checkpoint(self, model_folder: str) -> None:
         print(f"Looking into folder {model_folder} for a valid training.")
         latest = ckpt.try_latest(model_folder)
+        restored = False
         if latest is None:
             print("No checkpoint was found. Starting training from scratch")
-            return
-        print(f"Checkpoint {latest} found. Resuming training.")
-        try:
-            self.state = ckpt.restore_checkpoint(model_folder, latest, self.state)
-        except Exception as exc:
-            # Crash-resume semantics (reference swallows all restore errors,
-            # trainer.py:192-194): a corrupt/incompatible checkpoint falls
-            # back to fresh training — but say why.
-            print(f"Checkpoint {latest} could not be restored ({exc}); "
-                  "starting training from scratch")
-            return
-        if self.mesh is not None:
-            self.state = shard_train_state(self.state, self.mesh)
-        try:
-            self.progress = ckpt.TrainingProgress.load(model_folder)
-        except FileNotFoundError:
-            pass
+        else:
+            print(f"Checkpoint {latest} found. Resuming training.")
+            try:
+                self.state = ckpt.restore_checkpoint(
+                    model_folder, latest, self.state
+                )
+                restored = True
+            except Exception as exc:
+                # Crash-resume semantics (reference swallows all restore
+                # errors, trainer.py:192-194): a corrupt/incompatible
+                # checkpoint falls back to fresh training — but say why.
+                print(f"Checkpoint {latest} could not be restored ({exc}); "
+                      "starting training from scratch")
+        if restored:
+            if self.mesh is not None:
+                self.state = shard_train_state(self.state, self.mesh)
+            try:
+                self.progress = ckpt.TrainingProgress.load(model_folder)
+            except FileNotFoundError:
+                pass
+            if self.progress.n_checkpoints > latest:
+                # Crash window of async checkpointing: bookkeeping was
+                # written for a checkpoint that never committed. Roll the
+                # counters back to the restored (durable) one.
+                print(f"Bookkeeping ({self.progress.n_checkpoints}) is "
+                      f"ahead of the last durable checkpoint ({latest}); "
+                      "reconciling.")
+                self.progress.n_checkpoints = latest
+                self.progress.n_batches = int(self.state.step)
+        if self.dist is not None:
+            # All processes must agree on the resume point, or the global
+            # arrays would silently mix restored and fresh shards.
+            from ..parallel.distributed import assert_in_sync
+
+            assert_in_sync(self.mesh, float(int(self.state.step)),
+                           "the resumed training step")
 
     # ------------------------------------------------------------------
 

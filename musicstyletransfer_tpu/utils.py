@@ -11,6 +11,22 @@ import os
 import pprint
 from typing import Optional
 
+
+def configure_jax_cache(min_compile_secs: float = 1.0) -> None:
+    """Enable the persistent XLA compilation cache (TPU compiles through
+    the dev tunnel take minutes; the cache makes reruns instant). Shared by
+    every CLI and bench entry point."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/mst-jax-cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_compile_secs)
+    except Exception:
+        pass
+
 import numpy as np
 
 from .midi.codec import Melody

@@ -159,6 +159,38 @@ class TestShardedInference:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+class TestGlobalBatchAssembly:
+    @pytest.mark.parametrize("tp", [1, 2])
+    def test_matches_device_put(self, cpu_devices, tp):
+        """make_global_batch must place shards exactly like device_put with
+        the data-axis sharding — including tp>1 meshes, where each data
+        block is REPLICATED across the model axis (regression: the original
+        implementation split local rows across all addressable devices)."""
+        from musicstyletransfer_tpu.parallel import make_mesh, make_global_batch
+        from musicstyletransfer_tpu.parallel.mesh import batch_sharding
+
+        mesh = make_mesh(cpu_devices[:8], tp=tp)
+        x = np.arange(8 * 3, dtype=np.int32).reshape(8, 3)
+        # single process: the "local" slice is the whole global batch
+        g = make_global_batch(x, mesh, 8)
+        want = jax.device_put(x, batch_sharding(mesh))
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(want))
+        assert g.sharding == want.sharding
+        for shard in g.addressable_shards:
+            np.testing.assert_array_equal(
+                np.asarray(shard.data),
+                np.asarray([s.data for s in want.addressable_shards
+                            if s.device == shard.device][0]),
+            )
+
+    def test_wrong_local_rows_raises(self, cpu_devices):
+        from musicstyletransfer_tpu.parallel import make_mesh, make_global_batch
+
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        with pytest.raises(ValueError, match="do not cover"):
+            make_global_batch(np.zeros((4, 3), np.int32), mesh, 8)
+
+
 class TestDriverGate:
     def test_dryrun_multichip_self_provisions(self):
         """The driver's multi-chip gate must pass from ANY host environment:

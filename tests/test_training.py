@@ -185,6 +185,30 @@ class TestTrainLoop:
             jax.random.key_impl(state.rng)
         )
 
+    def test_legacy_threefry_checkpoint_restores_under_rbg_default(
+        self, tmp_path
+    ):
+        """Checkpoints written before the rbg default (threefry key data,
+        shape (2,)) must keep restoring — the impl is inferred from the
+        stored key-data width, not forced to the template's."""
+        cfg = tiny_config()
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        legacy = create_train_state(
+            params, tx, jax.random.key(3, impl="threefry2x32")
+        )
+        save_checkpoint(str(tmp_path), 1, legacy)
+        template = create_train_state(params, tx, jax.random.key(9, impl="rbg"))
+        restored = restore_checkpoint(str(tmp_path), 1, template)
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(restored.rng)),
+            np.asarray(jax.random.key_data(legacy.rng)),
+        )
+        # ...and the restored key still works (the old run continues with
+        # ITS impl).
+        jax.random.uniform(jax.random.fold_in(restored.rng, 1))
+
     def test_checkpoint_roundtrip(self, tmp_path):
         cfg = tiny_config()
         model = make_model(cfg)
