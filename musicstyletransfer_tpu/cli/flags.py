@@ -104,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="write a jax.profiler trace of steps 10-20 here")
     tpu.add_argument("--temperature", type=float, default=1.0,
                      help="sampling temperature for ancestral decoding")
+    tpu.add_argument("--top-k", type=int, default=0,
+                     help="restrict sampling to the k most likely tokens "
+                          "(0 = off)")
+    tpu.add_argument("--top-p", type=float, default=0.0,
+                     help="nucleus sampling: smallest token set with "
+                          "cumulative probability >= p (0 = off)")
     tpu.add_argument("--kl-anneal-steps", type=int, default=0,
                      help="linear KL warmup steps (0 = constant weight)")
     tpu.add_argument("--free-bits", type=float, default=0.0,

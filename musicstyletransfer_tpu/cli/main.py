@@ -141,6 +141,17 @@ def _select_devices(args):
     return jax.devices()
 
 
+def _maybe_pin_cpu(args) -> None:
+    """--cpu must also pin the DEFAULT device: the axon TPU plugin keeps
+    registry priority even under JAX_PLATFORMS=cpu, so without this every
+    un-sharded computation (param init, eval, sampling) goes through the
+    TPU tunnel (minutes of compile latency). Must be a LOCAL device: in
+    multi-process runs jax.devices("cpu")[0] is process 0's device."""
+    if args.cpu:
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
+
+
 def main_toy(args, epochs: int = 20000) -> None:
     """Reference: main.py:59-76 (main_toy)."""
     dataset = ToyData()
@@ -165,7 +176,10 @@ def main(argv=None) -> None:
 
     from ..utils import configure_jax_cache
 
-    configure_jax_cache()
+    configure_jax_cache(
+        suffix=(f"-proc{args.dist_process_id}" if args.dist_coordinator
+                else "")
+    )
 
     if args.dist_coordinator:
         # Multi-process mode: must run before any backend is touched.
@@ -177,6 +191,8 @@ def main(argv=None) -> None:
             process_id=args.dist_process_id,
             num_cpu_devices=args.dist_num_cpu_devices,
         )
+
+    _maybe_pin_cpu(args)
 
     if args.toy:
         main_toy(args)

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from ..midi.vocab import EOS_ID, PAD_ID, SOS_ID
 from ..models.vae import StyleVAE
 
+_NEG_INF = -1e30  # filtered-out logits (avoids inf-inf NaNs in softmax)
+
 
 class _SampleLoopState(NamedTuple):
     seqs: jax.Array  # [B, max_len] generated ids (position 0 = SOS)
@@ -41,7 +43,32 @@ def _encode_deterministic(model: StyleVAE, params, tokens, seq_lens, classes):
     return mu
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
+def _filter_logits(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
+    """Restrict sampling support: top-k and/or nucleus (top-p) filtering.
+
+    Both are trace-time constants (static under jit). top_k > 0 keeps the
+    k highest-probability tokens; 0 < top_p <= 1 keeps the smallest set of
+    tokens whose cumulative probability reaches top_p (the argmax token is
+    always kept). Filtered entries go to -inf before the categorical draw.
+    """
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, min(top_k, logits.shape[-1]))[0][..., -1:]
+        logits = jnp.where(logits < kth, _NEG_INF, logits)
+    if top_p > 0.0:
+        sorted_desc = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # token i (sorted) is kept while the mass BEFORE it is < top_p
+        keep = cum - probs < top_p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < threshold, _NEG_INF, logits)
+    return logits
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5),
+                   static_argnames=("max_len", "top_k", "top_p"))
 def sample_sequences(
     model: StyleVAE,
     params,
@@ -51,6 +78,8 @@ def sample_sequences(
     max_len: int,
     rng: jax.Array,
     temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode + ancestral multinomial decode, fully on device.
 
@@ -58,14 +87,19 @@ def sample_sequences(
     style ids (style transfer = pass a different class than encoded —
     reference sampler.py:93-104 swaps batch.data[2]).
 
+    ``top_k``/``top_p`` restrict the sampling support (0 disables each —
+    the reference's plain multinomial).
+
     Returns (seqs [B, max_len] with SOS at position 0 and PAD after EOS,
     scores [B] = sum of -log p of emitted tokens).
     """
     z = _encode_deterministic(model, params, tokens, seq_lens, classes)
-    return decode_sampled(model, params, z, classes, max_len, rng, temperature)
+    return decode_sampled(model, params, z, classes, max_len, rng, temperature,
+                          top_k=top_k, top_p=top_p)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 4),
+                   static_argnames=("max_len", "top_k", "top_p"))
 def decode_sampled(
     model: StyleVAE,
     params,
@@ -74,9 +108,12 @@ def decode_sampled(
     max_len: int,
     rng: jax.Array,
     temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Ancestral multinomial decode from (z, classes); ``temperature``
-    scales the logits before sampling (1.0 = reference behavior)."""
+    scales the logits before sampling (1.0 = reference behavior);
+    ``top_k``/``top_p`` restrict the support (see _filter_logits)."""
     B = z.shape[0]
     cache = model.apply(
         {"params": params}, z, classes, max_len + 1, method=StyleVAE.decode_prefill
@@ -92,7 +129,8 @@ def decode_sampled(
             {"params": params}, last, st.cache, st.t, method=StyleVAE.decode_step
         )
         rng, key = jax.random.split(st.rng)
-        nxt = jax.random.categorical(key, logits / temperature).astype(jnp.int32)
+        filtered = _filter_logits(logits / temperature, top_k, top_p)
+        nxt = jax.random.categorical(key, filtered).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         scores = st.scores + jnp.where(st.done, 0.0, -tok_logp)
@@ -113,7 +151,9 @@ def decode_sampled(
     return final.seqs, final.scores
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5),
+                   static_argnames=("max_len", "num_classes", "top_k",
+                                    "top_p"))
 def style_transfer_all_classes(
     model: StyleVAE,
     params,
@@ -123,6 +163,8 @@ def style_transfer_all_classes(
     num_classes: int,
     rng: jax.Array,
     temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transfer a batch into EVERY target class in one fused device call.
 
@@ -140,7 +182,7 @@ def style_transfer_all_classes(
     classes_rep = jnp.repeat(jnp.arange(C, dtype=jnp.int32), B)
     seqs, scores = sample_sequences(
         model, params, tokens_rep, seq_lens_rep, classes_rep, max_len, rng,
-        temperature,
+        temperature, top_k=top_k, top_p=top_p,
     )
     return seqs.reshape(C, B, max_len), scores.reshape(C, B)
 
@@ -153,7 +195,9 @@ class _BeamLoopState(NamedTuple):
     done: jax.Array  # [B*K]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7),
+                   static_argnames=("max_len", "beam_size",
+                                    "length_penalty"))
 def beam_search(
     model: StyleVAE,
     params,
@@ -177,7 +221,9 @@ def beam_search(
                        length_penalty)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6),
+                   static_argnames=("max_len", "beam_size",
+                                    "length_penalty"))
 def decode_beam(
     model: StyleVAE,
     params,

@@ -54,7 +54,9 @@ def get_sampler(type: str, model_folder: str, checkpoint: Optional[int], args):
     if type == "sampling":
         return Sampling(model_folder, checkpoint, verbose=args.verbose,
                         seed=getattr(args, "seed", 0), visualize=visualize,
-                        temperature=getattr(args, "temperature", 1.0))
+                        temperature=getattr(args, "temperature", 1.0),
+                        top_k=getattr(args, "top_k", 0),
+                        top_p=getattr(args, "top_p", 0.0))
     if type == "beam-search":
         return BeamSearchSampler(
             model_folder, checkpoint, beam_size=args.beam_size,
@@ -174,13 +176,16 @@ class SamplerBase:
 
 
 class Sampling(SamplerBase):
-    """Ancestral multinomial sampling (reference: sampler.py:161-189)."""
+    """Ancestral multinomial sampling (reference: sampler.py:161-189),
+    with optional temperature / top-k / nucleus (top-p) controls."""
 
     def __init__(self, *args, seed: int = 0, temperature: float = 1.0,
-                 **kwargs):
+                 top_k: int = 0, top_p: float = 0.0, **kwargs):
         super().__init__(*args, **kwargs)
         self._rng = jax.random.key(seed)
         self.temperature = temperature
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
 
     def sample(self, batch: Batch) -> np.ndarray:
         max_len = int(batch.tokens.shape[1]) * 2  # reference: sampler.py:164
@@ -194,6 +199,8 @@ class Sampling(SamplerBase):
             max_len,
             key,
             self.temperature,
+            top_k=self.top_k,
+            top_p=self.top_p,
         )
         return np.asarray(seqs)
 
@@ -212,6 +219,8 @@ class Sampling(SamplerBase):
             num_classes,
             key,
             self.temperature,
+            top_k=self.top_k,
+            top_p=self.top_p,
         )
         return np.asarray(seqs)
 

@@ -12,14 +12,21 @@ import pprint
 from typing import Optional
 
 
-def configure_jax_cache(min_compile_secs: float = 1.0) -> None:
+def configure_jax_cache(min_compile_secs: float = 1.0,
+                        suffix: str = "") -> None:
     """Enable the persistent XLA compilation cache (TPU compiles through
     the dev tunnel take minutes; the cache makes reruns instant). Shared by
-    every CLI and bench entry point."""
+    every CLI and bench entry point.
+
+    ``suffix``: multi-process runs must pass a per-process suffix — with a
+    SHARED cache one process hits entries the other just wrote and races
+    ahead of the fleet by whole compile times, blowing gloo's 30s
+    communicator-init deadline on the next collective.
+    """
     import jax
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/mst-jax-cache")
+                               "/tmp/mst-jax-cache") + suffix
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

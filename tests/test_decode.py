@@ -207,6 +207,54 @@ class TestTemperature:
         assert not np.array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestTopKTopP:
+    def test_top_k_1_is_greedy(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        from musicstyletransfer_tpu.inference.decode import beam_search
+
+        topk1, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(3),
+            1.0, top_k=1,
+        )
+        greedy, _ = beam_search(model, params, tokens, seq_lens, classes, 12, 1)
+        np.testing.assert_array_equal(np.asarray(topk1), np.asarray(greedy))
+
+    def test_tiny_top_p_is_greedy(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        from musicstyletransfer_tpu.inference.decode import beam_search
+
+        nucleus, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(3),
+            1.0, top_p=1e-6,  # keeps only the argmax token
+        )
+        greedy, _ = beam_search(model, params, tokens, seq_lens, classes, 12, 1)
+        np.testing.assert_array_equal(np.asarray(nucleus), np.asarray(greedy))
+
+    def test_filters_default_off_match_plain_sampling(self, setup):
+        cfg, model, params, tokens, seq_lens, classes = setup
+        a, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(5)
+        )
+        b, _ = sample_sequences(
+            model, params, tokens, seq_lens, classes, 12, jax.random.key(5),
+            1.0, top_k=0, top_p=0.0,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_filter_logits_semantics(self):
+        from musicstyletransfer_tpu.inference.decode import _filter_logits
+
+        logits = jnp.log(jnp.asarray([[0.5, 0.25, 0.15, 0.1]]))
+        k2 = np.asarray(_filter_logits(logits, top_k=2, top_p=0.0))
+        assert np.isfinite(k2[0, :2]).all() and (k2[0, 2:] < -1e29).all()
+        # top_p=0.6: 0.5 alone misses 0.6, so {0.5, 0.25} survives
+        p6 = np.asarray(_filter_logits(logits, top_k=0, top_p=0.6))
+        assert np.isfinite(p6[0, :2]).all() and (p6[0, 2:] < -1e29).all()
+        # top_p=0.5: the argmax alone reaches it
+        p5 = np.asarray(_filter_logits(logits, top_k=0, top_p=0.5))
+        assert np.isfinite(p5[0, 0]) and (p5[0, 1:] < -1e29).all()
+
+
 class TestLengthPenalty:
     def test_zero_penalty_is_default_behavior(self, setup):
         cfg, model, params, tokens, seq_lens, classes = setup

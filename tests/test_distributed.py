@@ -48,6 +48,67 @@ def dist_results():
     return outs
 
 
+class TestTwoProcessCLI:
+    def test_train_cli_end_to_end(self, tmp_path):
+        """The full --dist-coordinator CLI path: corpus load, process-
+        sharded batches, sharded training, primary-only checkpointing."""
+        from musicstyletransfer_tpu.midi.codec import Melody, MelodyWriter
+        from musicstyletransfer_tpu.midi.vocab import note_off_id, note_on_id
+
+        corpus = tmp_path / "corpus"
+        writer = MelodyWriter()
+        rng = np.random.default_rng(0)
+        for cls in ("alpha", "beta"):
+            (corpus / cls).mkdir(parents=True)
+            for i in range(2):
+                pitches = rng.integers(40, 80, 24)
+                toks = []
+                for p in pitches:
+                    toks += [note_on_id(int(p)), note_off_id(int(p))]
+                writer.write_to_file(
+                    str(corpus / cls / f"m{i}.mid"),
+                    Melody(tokens=np.asarray(toks, np.int32)),
+                )
+
+        model_dir = tmp_path / "model"
+        port = _free_port()
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["JAX_PLATFORMS"] = "cpu"
+
+        def args(pid):
+            return [
+                sys.executable, "-m", "musicstyletransfer_tpu.cli.main",
+                "--data", str(corpus), "--model-output", str(model_dir),
+                "--out-samples", str(tmp_path / "samples"),
+                "--batch-size", "4", "--max-seq-len", "8", "--epochs", "2",
+                "--cpu", "--prefetch", "0", "--validation-split", "0.5",
+                "--checkpoint-frequency", "3", "--sampling-frequency", "0",
+                "--dist-coordinator", f"localhost:{port}",
+                "--dist-num-processes", "2", "--dist-process-id", str(pid),
+                "--dist-num-cpu-devices", "2",
+            ]
+
+        procs = [
+            subprocess.Popen(args(pid), env=env, cwd=REPO,
+                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                             text=True)
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"CLI worker failed:\n{out}\n{err}"
+            outs.append(out)
+        for out in outs:
+            assert "Training finished." in out
+            assert "Process " in out  # dist banner
+        # the primary checkpointed; params.N + bookkeeping exist once
+        names = os.listdir(model_dir)
+        assert any(n.startswith("params.") for n in names), names
+        assert "train_state.json" in names
+
+
 class TestTwoProcessTraining:
     def test_processes_agree_bitwise(self, dist_results):
         a, b = dist_results
