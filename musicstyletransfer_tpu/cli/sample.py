@@ -20,7 +20,8 @@ def _setup_jax(args) -> None:
 
     configure_jax_cache()
     if getattr(args, "cpu", False):
-        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
 
 
 def sample_toy(args) -> None:

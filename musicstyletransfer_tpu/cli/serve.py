@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-seq-len", type=int, default=64)
     p.add_argument("--watch", action="store_true")
     p.add_argument("--poll-seconds", type=float, default=1.0)
+    p.add_argument("--cpu", action="store_true",
+                   help="pin compute to a local CPU device (tests/dev)")
     return p
 
 
@@ -37,6 +39,11 @@ def main(argv=None) -> None:
     from ..utils import configure_jax_cache
 
     configure_jax_cache()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
     os.makedirs(args.out_samples, exist_ok=True)
     svc = StyleTransferService(
         args.model_output,
