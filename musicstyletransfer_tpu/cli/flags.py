@@ -116,6 +116,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-dimension KL floor (posterior-collapse guard)")
     tpu.add_argument("--remat", action="store_true",
                      help="rematerialize transformer layers in backward")
+    tpu.add_argument("--keep-checkpoints", type=int, default=0,
+                     help="retain only the newest N checkpoints (0 = all)")
     tpu.add_argument("--rng-impl", default="rbg",
                      choices=["rbg", "unsafe_rbg", "threefry2x32"],
                      help="training PRNG; rbg = TPU hardware RNG (1.6x "

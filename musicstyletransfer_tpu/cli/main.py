@@ -98,6 +98,7 @@ def create_train_config(args) -> TrainConfig:
         log_param_grad_norms=args.log_param_grad_norms,
         profile_dir=args.profile_dir,
         rng_impl=args.rng_impl,
+        keep_checkpoints=args.keep_checkpoints,
     )
 
 

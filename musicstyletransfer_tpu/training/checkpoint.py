@@ -161,6 +161,22 @@ def restore_params(model_folder: str, index: int, params_template):
     return params
 
 
+def prune_checkpoints(model_folder: str, keep: int) -> None:
+    """Delete all but the ``keep`` newest params.N directories (0 keeps
+    everything — the reference's behavior; it never prunes)."""
+    if keep <= 0:
+        return
+    import shutil
+
+    indices = sorted(
+        int(m.group(1))
+        for m in (_CKPT_RE.match(n) for n in os.listdir(model_folder))
+        if m
+    )
+    for idx in indices[:-keep]:
+        shutil.rmtree(checkpoint_path(model_folder, idx), ignore_errors=True)
+
+
 def try_latest(model_folder: str) -> Optional[int]:
     try:
         return get_latest_checkpoint_index(model_folder)

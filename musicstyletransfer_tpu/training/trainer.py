@@ -73,6 +73,9 @@ class TrainConfig:
     # ms/step measured on v5e). Use "threefry2x32" for cross-platform
     # bit-reproducibility.
     rng_impl: str = "rbg"
+    # Retain only the newest N params.* checkpoints (0 = keep all, the
+    # reference's behavior).
+    keep_checkpoints: int = 0
 
 
 class _NullWriter:
@@ -327,6 +330,11 @@ class Trainer:
             ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints,
                                  self.state, checkpointer=self.checkpointer)
             self.progress.save(model_folder)
+            if self.config.keep_checkpoints > 0:
+                # +1: the newest save may still be in flight (uncommitted),
+                # so keep one extra durable predecessor.
+                ckpt.prune_checkpoints(model_folder,
+                                       self.config.keep_checkpoints + 1)
         self._metric_acc = None  # reset running metrics (trainer.py:210)
 
         if validation_dataset is None:

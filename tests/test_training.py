@@ -497,6 +497,73 @@ class TestAsyncCheckpointing:
         assert int(t2.state.step) == 10
 
 
+class TestCheckpointRetention:
+    def test_trainer_prunes_old_checkpoints(self, tmp_path):
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=1, keep_checkpoints=2,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/kc-tb")
+        t = Trainer(tcfg, model, params, sampler=None)
+        t.fit(ToyData(), str(tmp_path), epochs=6)  # 6 checkpoints
+        kept = sorted(n for n in os.listdir(str(tmp_path))
+                      if n.startswith("params."))
+        # keep_checkpoints=2 (+1 in-flight guard; the newest save may not
+        # have committed when the last prune ran) -> 3-4 newest remain
+        assert "params.6" in kept and len(kept) <= 4, kept
+        assert "params.1" not in kept and "params.2" not in kept, kept
+        # resume still works from the newest
+        t2 = Trainer(tcfg, model, params, sampler=None)
+        t2._load_latest_checkpoint(str(tmp_path))
+        assert int(t2.state.step) == 6
+
+
+class TestProfiler:
+    def test_profile_dir_writes_trace(self, tmp_path):
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        prof = str(tmp_path / "trace")
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=10 ** 9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/prof-tb", profile_dir=prof,
+                           profile_start=1, profile_stop=3)
+        t = Trainer(tcfg, model, params, sampler=None)
+        t.fit(ToyData(), str(tmp_path / "model"), epochs=4)
+        trace_files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(prof) for f in fs
+        ]
+        assert trace_files, "no profiler trace written"
+
+
+class TestWriterFallback:
+    def test_missing_tensorboardx_degrades_to_noop(self, monkeypatch):
+        import sys
+
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+        from musicstyletransfer_tpu.training.trainer import _NullWriter
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(batch_size=3, logdir="/tmp/nw-tb")
+        t = Trainer(tcfg, model, params, sampler=None)
+        monkeypatch.setitem(sys.modules, "tensorboardX", None)  # import fails
+        assert isinstance(t.writer, _NullWriter)
+        t.writer.add_scalar("x", 1.0, global_step=0)  # no-op, no crash
+
+
 class TestSamplerParamLifetime:
     def test_sample_survives_donating_train_step(self, tmp_path):
         """update_parameters must COPY: the train step donates its input
