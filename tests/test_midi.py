@@ -281,6 +281,35 @@ class TestSmfPropertyRoundTrip:
                 if isinstance(a, smf.SetTempo):
                     assert a.mpqn == b.mpqn
 
+    def test_parser_never_crashes_on_garbage_bytes(self):
+        """Byte-level fuzz: random and mutated buffers must raise SmfError
+        (or parse), never IndexError/struct.error/infinite loops."""
+        import glob
+
+        from musicstyletransfer_tpu.midi import smf
+
+        rng = np.random.default_rng(123)
+        buffers = [rng.bytes(n) for n in (0, 1, 13, 14, 64, 300)]
+        # plausible-looking garbage: real header, corrupted body
+        real = sorted(glob.glob("/root/reference/work/data/guitar_bass/*/*.mid"))
+        if real:
+            base = bytearray(open(real[0], "rb").read())
+            for _ in range(40):
+                mut = bytearray(base)
+                for off in rng.integers(0, len(mut), size=8):
+                    mut[off] = int(rng.integers(0, 256))
+                buffers.append(bytes(mut))
+        parsed = 0
+        for buf in buffers:
+            try:
+                smf.parse_midifile(buf)
+                parsed += 1
+            except smf.SmfError:
+                pass
+        # some mutations still parse — that's fine; the point is no other
+        # exception type and no hang
+        assert parsed >= 0
+
     def test_tokenizer_handles_random_files(self):
         """Tokenization of arbitrary well-formed files never crashes and
         emits only valid ids."""
