@@ -44,14 +44,23 @@ class Loader:
         melodies: Dict[str, List[Melody]] = {}
         directories = next(os.walk(self.path))[1]
         for directory in sorted(directories):
-            melodies[directory] = []
             # Sorted: glob order is filesystem-dependent, and multi-process
             # training requires every process to build the IDENTICAL
             # melody ordering (validation splits and batch streams derive
             # from it).
             files = sorted(glob.glob(os.path.join(self.path, directory, "*.mid")))
-            for fname in files:
-                melody = self.midi_reader.read_file(fname)[0]
-                melodies[directory].append(melody)
+            if hasattr(self.midi_reader, "scan_files") and (
+                (os.cpu_count() or 1) > 1
+            ):
+                # Native threaded corpus scan: file IO + tokenization on
+                # C++ worker threads, one call per class directory. Only
+                # pays off with >1 core (on a single core it adds a merge
+                # copy over the per-file path — measured).
+                per_file = self.midi_reader.scan_files(files)
+                melodies[directory] = [m[0] for m in per_file]
+            else:
+                melodies[directory] = [
+                    self.midi_reader.read_file(fname)[0] for fname in files
+                ]
             print(f"Read {len(files)} files from {directory}")
         return melodies

@@ -81,6 +81,20 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.mst_tokenize_files.restype = ctypes.c_int64
+    lib.mst_tokenize_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return lib
 
@@ -140,14 +154,77 @@ class NativeMIDIReader:
         with open(file_name, "rb") as fh:
             buf = fh.read()
         tracks, bpm, resolution = self.tokenize_bytes(buf)
-        result: List[Melody] = []
-        for toks in tracks:
-            if len(toks) < self.MIN_TRACK_TOKENS:
-                print(
-                    f"Warning: {file_name} contains melodies of length "
-                    f"{len(toks)} < {self.MIN_TRACK_TOKENS}. Discarding"
+        return _to_melodies(file_name, tracks, bpm, resolution,
+                            self.MIN_TRACK_TOKENS)
+
+    def scan_files(self, paths: List[str],
+                   n_threads: Optional[int] = None) -> List[List[Melody]]:
+        """Tokenize many files with the native THREADED scanner (one C call,
+        file IO + parsing on C++ worker threads — the corpus-scale path for
+        multi-core hosts; on a single core the extra merge copy makes the
+        per-file path faster, and the Loader picks accordingly).
+
+        Returns one melody list per file, same per-file semantics as
+        ``read_file`` (short-track discard + >= 1 melody assert; a file the
+        parser rejects raises ValueError naming it)."""
+        if not paths:
+            return []
+        n = len(paths)
+        if n_threads is None:
+            n_threads = min(32, os.cpu_count() or 1)
+        sizes = [os.path.getsize(p) for p in paths]
+        tokens_cap = sum(s * 2 + 4096 for s in sizes)
+        track_cap = n * 64 + 4096  # ~64 tracks/file headroom
+        c_paths = (ctypes.c_char_p * n)(
+            *[p.encode() for p in paths]
+        )
+        tokens = np.empty(tokens_cap, dtype=np.int32)
+        track_starts = np.empty(track_cap, dtype=np.int32)
+        file_track_index = np.empty(n + 1, dtype=np.int32)
+        file_rc = np.empty(n, dtype=np.int32)
+        resolutions = np.empty(n, dtype=np.int32)
+        bpms = np.empty(n, dtype=np.float64)
+        total = self._lib.mst_tokenize_files(
+            c_paths, n, n_threads,
+            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tokens_cap,
+            track_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            track_cap,
+            file_track_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            file_rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            resolutions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            bpms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if total < 0:
+            raise ValueError(f"native corpus scan: {_ERRORS.get(total, total)}")
+        out: List[List[Melody]] = []
+        for i, path in enumerate(paths):
+            if file_rc[i] != 0:
+                raise ValueError(
+                    f"{path}: {_ERRORS.get(int(file_rc[i]), int(file_rc[i]))}"
                 )
-                continue
-            result.append(Melody(tokens=toks, bpm=bpm, resolution=resolution))
-        assert len(result) > 0, f"no usable tracks in {file_name}"
-        return result
+            lo, hi = int(file_track_index[i]), int(file_track_index[i + 1])
+            bounds = list(track_starts[lo : hi + 1])
+            tracks = [
+                tokens[bounds[t] : bounds[t + 1]].copy()
+                for t in range(hi - lo)
+            ]
+            out.append(
+                _to_melodies(path, tracks, float(bpms[i]),
+                             int(resolutions[i]), self.MIN_TRACK_TOKENS)
+            )
+        return out
+
+
+def _to_melodies(file_name, tracks, bpm, resolution, min_tokens):
+    result: List[Melody] = []
+    for toks in tracks:
+        if len(toks) < min_tokens:
+            print(
+                f"Warning: {file_name} contains melodies of length "
+                f"{len(toks)} < {min_tokens}. Discarding"
+            )
+            continue
+        result.append(Melody(tokens=toks, bpm=bpm, resolution=resolution))
+    assert len(result) > 0, f"no usable tracks in {file_name}"
+    return result

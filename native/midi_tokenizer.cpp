@@ -13,8 +13,14 @@
 //     -> total token count, or a negative MST_ERR_* code.
 // Track t's tokens are out_tokens[track_offsets[t] .. track_offsets[t+1]).
 
+#include <atomic>
 #include <cstdint>
 #include <cstddef>
+#include <cstdio>
+#include <cstring>
+#include <memory>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -211,6 +217,136 @@ int32_t mst_tokenize_buffer(const uint8_t* buf, int64_t len,
   *n_tracks = t;
   *bpm = file_bpm > 0 ? file_bpm : 120.0;
   return total;
+}
+
+}  // extern "C"
+
+namespace {
+
+struct FileScan {
+  std::vector<int32_t> tokens;
+  std::vector<int32_t> track_offsets;  // n_tracks + 1, file-local
+  int32_t n_tracks = 0;
+  int32_t resolution = 0;
+  double bpm = 120.0;
+  int32_t rc = 0;  // 0 ok, else MST_ERR_*
+};
+
+bool read_file_bytes(const char* path, std::vector<uint8_t>* out) {
+  FILE* fh = std::fopen(path, "rb");
+  if (!fh) return false;
+  std::fseek(fh, 0, SEEK_END);
+  long size = std::ftell(fh);
+  if (size < 0) {
+    std::fclose(fh);
+    return false;
+  }
+  std::fseek(fh, 0, SEEK_SET);
+  out->resize(static_cast<size_t>(size));
+  size_t got = size ? std::fread(out->data(), 1, out->size(), fh) : 0;
+  std::fclose(fh);
+  return got == out->size();
+}
+
+void scan_one(const char* path, FileScan* fs) {
+  std::vector<uint8_t> buf;
+  if (!read_file_bytes(path, &buf)) {
+    fs->rc = MST_ERR_TRUNCATED;
+    return;
+  }
+  // tokens <= ~2 per event byte; headroom for tiny files. Raw new[] keeps
+  // the scratch UNINITIALIZED (vector::resize would memset 2x the file
+  // size per file, which dominated the scan).
+  int32_t cap = static_cast<int32_t>(buf.size() * 2 + 4096);
+  std::unique_ptr<int32_t[]> scratch(new int32_t[static_cast<size_t>(cap)]);
+  fs->track_offsets.resize(4097);
+  int32_t total = mst_tokenize_buffer(
+      buf.data(), static_cast<int64_t>(buf.size()), scratch.get(), cap,
+      fs->track_offsets.data(), 4096, &fs->n_tracks, &fs->resolution,
+      &fs->bpm);
+  if (total < 0) {
+    fs->rc = total;
+    return;
+  }
+  fs->tokens.assign(scratch.get(), scratch.get() + total);
+  fs->track_offsets.resize(static_cast<size_t>(fs->n_tracks) + 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Threaded corpus scan: tokenize n_files SMF files with n_threads workers.
+//
+// Outputs (caller-allocated):
+//   tokens_out[tokens_cap]      flat int32 token arena, file/track order
+//   track_starts_out            absolute arena offsets, one per track,
+//                               plus a final end sentinel
+//                               (capacity: track_starts_cap entries)
+//   file_track_index_out        n_files + 1: track-range per file into
+//                               track_starts_out
+//   file_rc_out                 n_files: 0 ok, else MST_ERR_* for THAT file
+//   resolutions_out, bpms_out   n_files each
+//
+// Returns total token count, or MST_ERR_CAPACITY when an output does not
+// fit (caller retries with bigger buffers). Per-file parse errors do NOT
+// fail the scan: the file gets rc != 0 and zero tracks.
+int64_t mst_tokenize_files(const char** paths, int32_t n_files,
+                           int32_t n_threads, int32_t* tokens_out,
+                           int64_t tokens_cap, int32_t* track_starts_out,
+                           int64_t track_starts_cap,
+                           int32_t* file_track_index_out,
+                           int32_t* file_rc_out, int32_t* resolutions_out,
+                           double* bpms_out) {
+  if (n_files <= 0) {
+    file_track_index_out[0] = 0;
+    return 0;
+  }
+  std::vector<FileScan> scans(static_cast<size_t>(n_files));
+  std::atomic<int32_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      scan_one(paths[i], &scans[static_cast<size_t>(i)]);
+    }
+  };
+  int32_t nt = n_threads > 0 ? n_threads : 1;
+  if (nt > n_files) nt = n_files;
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(nt));
+  for (int32_t i = 0; i < nt; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+
+  // Serial merge into the caller's arena, preserving file order.
+  int64_t total_tokens = 0;
+  int64_t total_tracks = 0;
+  for (int32_t i = 0; i < n_files; ++i) {
+    const FileScan& fs = scans[static_cast<size_t>(i)];
+    file_rc_out[i] = fs.rc;
+    resolutions_out[i] = fs.resolution;
+    bpms_out[i] = fs.bpm;
+    file_track_index_out[i] = static_cast<int32_t>(total_tracks);
+    if (fs.rc != 0) continue;
+    if (total_tokens + static_cast<int64_t>(fs.tokens.size()) > tokens_cap ||
+        total_tracks + fs.n_tracks + 1 > track_starts_cap) {
+      return MST_ERR_CAPACITY;
+    }
+    for (int32_t t = 0; t < fs.n_tracks; ++t) {
+      track_starts_out[total_tracks + t] =
+          static_cast<int32_t>(total_tokens) + fs.track_offsets[t];
+    }
+    if (!fs.tokens.empty()) {
+      std::memcpy(tokens_out + total_tokens, fs.tokens.data(),
+                  fs.tokens.size() * sizeof(int32_t));
+    }
+    total_tokens += static_cast<int64_t>(fs.tokens.size());
+    total_tracks += fs.n_tracks;
+  }
+  file_track_index_out[n_files] = static_cast<int32_t>(total_tracks);
+  if (total_tracks + 1 > track_starts_cap) return MST_ERR_CAPACITY;
+  track_starts_out[total_tracks] = static_cast<int32_t>(total_tokens);
+  return total_tokens;
 }
 
 }  // extern "C"

@@ -19,6 +19,54 @@ def readers():
     return EventBasedMIDIReader(), native.NativeMIDIReader()
 
 
+class TestThreadedCorpusScan:
+    def test_scan_matches_per_file_reader(self, corpus_path):
+        import glob
+
+        from musicstyletransfer_tpu.midi.native import (
+            NativeMIDIReader, available,
+        )
+
+        if not available():
+            pytest.skip("native library unavailable")
+        files = sorted(glob.glob(os.path.join(corpus_path, "*", "*.mid")))
+        reader = NativeMIDIReader()
+        scanned = reader.scan_files(files, n_threads=4)
+        assert len(scanned) == len(files)
+        for path, melodies in zip(files, scanned):
+            ref = reader.read_file(path)
+            assert len(melodies) == len(ref)
+            for a, b in zip(melodies, ref):
+                np.testing.assert_array_equal(a.tokens, b.tokens)
+                assert a.bpm == b.bpm and a.resolution == b.resolution
+
+    def test_bad_file_raises_with_path(self, tmp_path):
+        from musicstyletransfer_tpu.midi.native import (
+            NativeMIDIReader, available,
+        )
+
+        if not available():
+            pytest.skip("native library unavailable")
+        bad = tmp_path / "garbage.mid"
+        bad.write_bytes(b"not a midi file at all")
+        with pytest.raises(ValueError, match="garbage.mid"):
+            NativeMIDIReader().scan_files([str(bad)])
+
+    def test_loader_native_matches_python(self, corpus_path):
+        from musicstyletransfer_tpu.data import Loader
+        from musicstyletransfer_tpu.midi.native import available
+
+        if not available():
+            pytest.skip("native library unavailable")
+        native = Loader(corpus_path, 64, use_native=True)
+        python = Loader(corpus_path, 64, use_native=False)
+        assert sorted(native.melodies) == sorted(python.melodies)
+        for cls in native.melodies:
+            assert len(native.melodies[cls]) == len(python.melodies[cls])
+            for a, b in zip(native.melodies[cls], python.melodies[cls]):
+                np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
 class TestNativeTokenizer:
     def test_corpus_bit_identical(self, readers, corpus_path):
         py, nat = readers
