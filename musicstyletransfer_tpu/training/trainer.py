@@ -146,6 +146,7 @@ class Trainer:
         self._metric_acc = None
         self.progress = ckpt.TrainingProgress()
         self._batches_at_start = 0
+        self._stop_requested = False
         self._writer = None
         # One long-lived async checkpointer: saves overlap training instead
         # of blocking the device at every checkpoint tick.
@@ -199,14 +200,42 @@ class Trainer:
 
             sharding = batch_sharding(self.mesh) if self.mesh is not None else None
             dataset = PrefetchingDataset(dataset, cfg.prefetch, sharding)
+        self._stop_requested = False
+        restore_handlers = self._install_signal_handlers()
         try:
             self._fit_loop(dataset, model_folder, epochs, validation_dataset,
                            start_time)
         finally:
+            restore_handlers()
             # Async saves must be durable before fit returns (and before any
             # subsequent resume reads the folder).
             if self._checkpointer is not None:
                 self._checkpointer.wait_until_finished()
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT request a graceful stop: finish the current batch,
+        write a final checkpoint, return from fit (preemption-safe training;
+        in multi-process runs deliver the signal to EVERY process or the
+        fleet hangs at the next collective). No-op off the main thread."""
+        import signal
+
+        def _request_stop(signum, frame):
+            print(f"Signal {signum}: checkpointing and stopping after "
+                  "this batch.")
+            self._stop_requested = True
+
+        previous = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # not the main thread
+                break
+
+        def restore():
+            for sig, handler in previous.items():
+                signal.signal(sig, handler)
+
+        return restore
 
     def _fit_loop(
         self, dataset, model_folder, epochs, validation_dataset, start_time
@@ -222,6 +251,12 @@ class Trainer:
                         print(f"Profiler trace written to {cfg.profile_dir}")
                 self._step(batch)
                 self.progress.n_batches += 1
+
+                if self._stop_requested:
+                    self._checkpoint(model_folder, validation_dataset)
+                    print("Stopped on signal; checkpoint "
+                          f"{self.progress.n_checkpoints} written.")
+                    return
 
                 if self.progress.n_batches % cfg.log_every == 0:
                     self._periodic_log(epoch, start_time)

@@ -497,6 +497,38 @@ class TestAsyncCheckpointing:
         assert int(t2.state.step) == 10
 
 
+class TestGracefulShutdown:
+    def test_sigterm_checkpoints_and_stops(self, tmp_path):
+        """A real SIGTERM delivered mid-epoch finishes the batch, writes a
+        checkpoint, and returns from fit (preemption-safe training)."""
+        import signal
+
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        class SignalingData(ToyData):
+            def __iter__(self):
+                for b in super().__iter__():
+                    yield b
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=10 ** 9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/gs-tb")
+        t = Trainer(tcfg, model, params, sampler=None)
+        before = signal.getsignal(signal.SIGTERM)
+        t.fit(SignalingData(), str(tmp_path), epochs=50)
+        # the signal lands while fetching batch 2; that batch completes,
+        # then the loop checkpoints and stops (way before 50 epochs)
+        assert t.progress.n_batches == 2
+        assert get_latest_checkpoint_index(str(tmp_path)) == 1
+        assert signal.getsignal(signal.SIGTERM) is before  # restored
+
+
 class TestCheckpointRetention:
     def test_trainer_prunes_old_checkpoints(self, tmp_path):
         from musicstyletransfer_tpu.training import TrainConfig, Trainer
