@@ -1,0 +1,79 @@
+"""Offline evaluation CLI: metrics for a trained checkpoint over a corpus.
+
+    python -m musicstyletransfer_tpu.cli.evaluate \
+        --model-output models/run1 --checkpoint -1 \
+        --data /path/to/corpus [--batch-size 32] [--max-seq-len 64] [--cpu]
+
+Prints ONE JSON line with PAD-ignoring perplexity/accuracy/top-5, masked CE,
+KL, and total loss — the same metric set the trainer's validation pass uses
+(wrap-padded rows masked out, so the numbers are batch-size invariant).
+The reference has no evaluation tooling at all (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-output", "-m", required=True)
+    p.add_argument("--checkpoint", "-c", type=int, default=-1)
+    p.add_argument("--data", required=True)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--max-seq-len", type=int, default=64)
+    p.add_argument("--kl-loss", type=float, default=1.0)
+    p.add_argument("--cpu", action="store_true",
+                   help="pin compute to a local CPU device")
+    return p
+
+
+def evaluate(model, params, dataset, kl_weight: float = 1.0) -> dict:
+    """Aggregate eval metrics over a Dataset (library entry point)."""
+    from ..training.metrics import MetricAccumulator
+    from ..training.train_step import LossConfig, make_eval_step
+
+    eval_step = make_eval_step(model, LossConfig(kl_weight=kl_weight))
+    acc = MetricAccumulator()
+    for batch in dataset:
+        metrics = eval_step(
+            params,
+            jnp.asarray(batch.tokens),
+            jnp.asarray(batch.seq_lens),
+            jnp.asarray(batch.classes),
+            jnp.asarray(batch.labels),
+            jnp.asarray(batch.num_valid, jnp.int32),
+        )
+        acc.update(jax.device_get(metrics))
+    return acc.get()
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from ..utils import configure_jax_cache
+
+    configure_jax_cache()
+    if args.cpu:
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
+
+    from ..data import Loader, MelodyDataset
+    from ..inference.sampler import load_inference_model
+
+    model, params = load_inference_model(
+        args.model_output, args.checkpoint, max_seq_len=args.max_seq_len
+    )
+    loader = Loader(args.data, args.max_seq_len)
+    dataset = MelodyDataset(
+        args.batch_size, args.max_seq_len, loader.melodies, shuffle=False
+    )
+    vals = evaluate(model, params, dataset, kl_weight=args.kl_loss)
+    print(json.dumps({k: round(v, 6) for k, v in sorted(vals.items())}))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,11 @@ class Loader:
 
     def read_melodies(self) -> Dict[str, List[Melody]]:
         print(f"Reading from {self.path}")
+        if not os.path.isdir(self.path):
+            raise FileNotFoundError(
+                f"corpus directory {self.path!r} does not exist (expected "
+                "one subdirectory per style class containing .mid files)"
+            )
         melodies: Dict[str, List[Melody]] = {}
         directories = next(os.walk(self.path))[1]
         for directory in sorted(directories):

@@ -1,4 +1,5 @@
-"""CLI surface tests: flag parity with the reference (config.py:19-70)."""
+"""CLI surface tests: flag parity with the reference (config.py:19-70) and
+the evaluation CLI."""
 
 from musicstyletransfer_tpu.cli.flags import get_config
 
@@ -41,3 +42,30 @@ class TestFlagParity:
         assert args.out_samples == "out"
         assert args.model_output == "models"
         assert args.checkpoint == 7
+
+
+class TestEvaluateCLI:
+    def test_metrics_json_over_corpus(self, corpus_path, capsys, tmp_path):
+        """mst-eval on the shipped checkpoint: one JSON line, sane values,
+        batch-size invariant (wrap-row masking)."""
+        import json
+        import os
+
+        import pytest
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pretrained = os.path.join(repo, "models", "guitar_bass")
+        if not os.path.isdir(pretrained):
+            pytest.skip("pretrained checkpoint not present")
+        from musicstyletransfer_tpu.cli.evaluate import main
+
+        def run(bs):
+            main(["--model-output", pretrained, "--data", corpus_path,
+                  "--batch-size", str(bs), "--cpu"])
+            return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+        a = run(32)
+        assert 0.0 < a["acc"] <= 1.0 and a["ppl"] >= 1.0
+        b = run(19)  # doesn't divide the corpus -> exercises wrap masking
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-3, (k, a[k], b[k])

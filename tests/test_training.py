@@ -680,5 +680,5 @@ class TestEdgeCases:
     def test_loader_missing_dir_raises(self):
         from musicstyletransfer_tpu.data import Loader
 
-        with pytest.raises(StopIteration):
+        with pytest.raises(FileNotFoundError, match="corpus directory"):
             Loader("/nonexistent/path/xyz", 64)
