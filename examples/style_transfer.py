@@ -33,7 +33,16 @@ def main() -> None:
     corpus = sorted(
         glob.glob(os.path.join(repo, "work/data/guitar_bass/*/*.mid"))
     ) or sorted(glob.glob("/root/reference/work/data/guitar_bass/*/*.mid"))
-    midi_in = sys.argv[1] if len(sys.argv) > 1 else corpus[0]
+    if len(sys.argv) > 1:
+        midi_in = sys.argv[1]
+    elif corpus:
+        midi_in = corpus[0]
+    else:
+        raise SystemExit(
+            "No bundled corpus found — pass an input MIDI file:\n"
+            "  python examples/style_transfer.py input.mid [model_dir] "
+            "[out_dir]"
+        )
     model_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
         repo, "models", "guitar_bass"
     )

@@ -27,17 +27,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-seq-len", type=int, default=64)
     p.add_argument("--kl-loss", type=float, default=1.0)
+    p.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="match the training run's value so losses are "
+                        "comparable with its validation logs")
+    p.add_argument("--normalize", choices=["valid", "length"],
+                   default="valid", help="per-sample CE normalization "
+                                         "(match the training run)")
     p.add_argument("--cpu", action="store_true",
                    help="pin compute to a local CPU device")
     return p
 
 
-def evaluate(model, params, dataset, kl_weight: float = 1.0) -> dict:
-    """Aggregate eval metrics over a Dataset (library entry point)."""
+def evaluate(model, params, dataset, kl_weight: float = 1.0,
+             label_smoothing: float = 0.0, normalize: str = "valid") -> dict:
+    """Aggregate eval metrics over a Dataset (library entry point).
+
+    Pass the TRAINING run's loss settings for numbers comparable with its
+    validation logs."""
     from ..training.metrics import MetricAccumulator
     from ..training.train_step import LossConfig, make_eval_step
 
-    eval_step = make_eval_step(model, LossConfig(kl_weight=kl_weight))
+    eval_step = make_eval_step(
+        model,
+        LossConfig(kl_weight=kl_weight, label_smoothing=label_smoothing,
+                   normalize=normalize),
+    )
     acc = MetricAccumulator()
     for batch in dataset:
         metrics = eval_step(
@@ -54,12 +68,11 @@ def evaluate(model, params, dataset, kl_weight: float = 1.0) -> dict:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    from ..utils import configure_jax_cache
+    from ..utils import configure_jax_cache, pin_local_cpu
 
     configure_jax_cache()
     if args.cpu:
-        jax.config.update("jax_default_device",
-                          jax.local_devices(backend="cpu")[0])
+        pin_local_cpu()
 
     from ..data import Loader, MelodyDataset
     from ..inference.sampler import load_inference_model
@@ -71,7 +84,9 @@ def main(argv=None) -> None:
     dataset = MelodyDataset(
         args.batch_size, args.max_seq_len, loader.melodies, shuffle=False
     )
-    vals = evaluate(model, params, dataset, kl_weight=args.kl_loss)
+    vals = evaluate(model, params, dataset, kl_weight=args.kl_loss,
+                    label_smoothing=args.label_smoothing,
+                    normalize=args.normalize)
     print(json.dumps({k: round(v, 6) for k, v in sorted(vals.items())}))
 
 

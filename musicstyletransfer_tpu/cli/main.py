@@ -143,14 +143,10 @@ def _select_devices(args):
 
 
 def _maybe_pin_cpu(args) -> None:
-    """--cpu must also pin the DEFAULT device: the axon TPU plugin keeps
-    registry priority even under JAX_PLATFORMS=cpu, so without this every
-    un-sharded computation (param init, eval, sampling) goes through the
-    TPU tunnel (minutes of compile latency). Must be a LOCAL device: in
-    multi-process runs jax.devices("cpu")[0] is process 0's device."""
     if args.cpu:
-        jax.config.update("jax_default_device",
-                          jax.local_devices(backend="cpu")[0])
+        from ..utils import pin_local_cpu
+
+        pin_local_cpu()
 
 
 def main_toy(args, epochs: int = 20000) -> None:

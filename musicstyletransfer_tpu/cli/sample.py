@@ -16,12 +16,11 @@ from .flags import get_config
 def _setup_jax(args) -> None:
     """Compile cache + optional CPU pin (the axon TPU plugin registers even
     under JAX_PLATFORMS=cpu, so --cpu must pin the default device)."""
-    from ..utils import configure_jax_cache
+    from ..utils import configure_jax_cache, pin_local_cpu
 
     configure_jax_cache()
     if getattr(args, "cpu", False):
-        jax.config.update("jax_default_device",
-                          jax.local_devices(backend="cpu")[0])
+        pin_local_cpu()
 
 
 def sample_toy(args) -> None:

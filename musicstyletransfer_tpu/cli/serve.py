@@ -36,14 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    from ..utils import configure_jax_cache
+    from ..utils import configure_jax_cache, pin_local_cpu
 
     configure_jax_cache()
     if args.cpu:
-        import jax
-
-        jax.config.update("jax_default_device",
-                          jax.local_devices(backend="cpu")[0])
+        pin_local_cpu()
     os.makedirs(args.out_samples, exist_ok=True)
     svc = StyleTransferService(
         args.model_output,

@@ -112,7 +112,9 @@ class NativeMIDIReader:
     """
 
     MIN_TRACK_TOKENS = 10
-    MAX_TRACKS = 256
+    # Must match the C++ scanner's per-file cap (scan_one), or the threaded
+    # and per-file paths would accept different corpora.
+    MAX_TRACKS = 4096
 
     def __init__(self) -> None:
         lib = load_library()

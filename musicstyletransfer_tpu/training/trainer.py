@@ -219,21 +219,26 @@ class Trainer:
         fleet hangs at the next collective). No-op off the main thread."""
         import signal
 
+        previous = {}
+
+        def restore():
+            for sig, handler in previous.items():
+                signal.signal(sig, handler)
+
         def _request_stop(signum, frame):
             print(f"Signal {signum}: checkpointing and stopping after "
                   "this batch.")
             self._stop_requested = True
+            # Re-arm the ORIGINAL handlers so a second signal can still
+            # force-interrupt (e.g. Ctrl-C twice when the stop path itself
+            # hangs on a validation pass or a fleet-mate's collective).
+            restore()
 
-        previous = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
                 previous[sig] = signal.signal(sig, _request_stop)
             except ValueError:  # not the main thread
                 break
-
-        def restore():
-            for sig, handler in previous.items():
-                signal.signal(sig, handler)
 
         return restore
 

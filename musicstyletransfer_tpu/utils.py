@@ -12,6 +12,21 @@ import pprint
 from typing import Optional
 
 
+def pin_local_cpu() -> None:
+    """Pin JAX's default device to a LOCAL CPU device (the CLIs' --cpu).
+
+    The axon TPU plugin keeps backend-registry priority even under
+    JAX_PLATFORMS=cpu, so without this every un-sharded computation (param
+    init, eval, sampling) dispatches through the TPU tunnel (minutes of
+    compile latency). Must be a local device: in multi-process runs
+    jax.devices("cpu")[0] belongs to process 0.
+    """
+    import jax
+
+    jax.config.update("jax_default_device",
+                      jax.local_devices(backend="cpu")[0])
+
+
 def configure_jax_cache(min_compile_secs: float = 1.0,
                         suffix: str = "") -> None:
     """Enable the persistent XLA compilation cache (TPU compiles through

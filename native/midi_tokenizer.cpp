@@ -318,7 +318,10 @@ int64_t mst_tokenize_files(const char** paths, int32_t n_files,
   for (int32_t i = 0; i < nt; ++i) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
 
-  // Serial merge into the caller's arena, preserving file order.
+  // Serial merge into the caller's arena, preserving file order. Arena
+  // offsets are int32 on the wire: refuse scans beyond 2^31 tokens rather
+  // than silently wrapping.
+  constexpr int64_t kMaxArena = 0x7FFFFFF0;
   int64_t total_tokens = 0;
   int64_t total_tracks = 0;
   for (int32_t i = 0; i < n_files; ++i) {
@@ -329,6 +332,7 @@ int64_t mst_tokenize_files(const char** paths, int32_t n_files,
     file_track_index_out[i] = static_cast<int32_t>(total_tracks);
     if (fs.rc != 0) continue;
     if (total_tokens + static_cast<int64_t>(fs.tokens.size()) > tokens_cap ||
+        total_tokens + static_cast<int64_t>(fs.tokens.size()) > kMaxArena ||
         total_tracks + fs.n_tracks + 1 > track_starts_cap) {
       return MST_ERR_CAPACITY;
     }
