@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
                                          "(match the training run)")
     p.add_argument("--cpu", action="store_true",
                    help="pin compute to a local CPU device")
+    p.add_argument("--transfer-stats", action="store_true",
+                   help="also run all-classes style transfer on a few "
+                        "batches and report output-quality statistics "
+                        "(EOS termination rate, lengths, pitch-class JS "
+                        "divergence to target vs source distribution)")
+    p.add_argument("--stats-batches", type=int, default=4)
     return p
 
 
@@ -87,6 +93,12 @@ def main(argv=None) -> None:
     vals = evaluate(model, params, dataset, kl_weight=args.kl_loss,
                     label_smoothing=args.label_smoothing,
                     normalize=args.normalize)
+    if args.transfer_stats:
+        from ..inference.quality import transfer_stats
+
+        vals.update(transfer_stats(model, params, dataset,
+                                   dataset.num_classes(),
+                                   max_batches=args.stats_batches))
     print(json.dumps({k: round(v, 6) for k, v in sorted(vals.items())}))
 
 

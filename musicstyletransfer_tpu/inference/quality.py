@@ -1,0 +1,109 @@
+"""Style-transfer quality statistics (no reference equivalent — the
+reference never measures its outputs; SURVEY.md §6).
+
+Host-side, distribution-level checks of generated token streams:
+
+- termination rate: fraction of sequences that emit EOS before the cap
+  (a collapsed or runaway decoder shows up here first);
+- generated length stats;
+- pitch-class fit: Jensen-Shannon divergence between the pitch-class
+  (pitch mod 12) histogram of transfers INTO a class and that class's
+  corpus histogram — and, for contrast, the source classes' histogram.
+  A working transfer sits closer to the target distribution than to the
+  source one.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..midi.vocab import EOS_ID, PAD_ID, is_note_on, token_pitch
+
+
+def pitch_class_histogram(token_rows) -> np.ndarray:
+    """Normalized pitch-class (mod 12) histogram over note-ON tokens."""
+    hist = np.zeros(12, dtype=np.float64)
+    for row in token_rows:
+        for tok in np.asarray(row).tolist():
+            if is_note_on(tok):
+                hist[token_pitch(tok) % 12] += 1
+    total = hist.sum()
+    return hist / total if total else np.full(12, 1.0 / 12)
+
+
+def js_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> float:
+    """Jensen-Shannon divergence (natural log; 0 <= JS <= ln 2)."""
+    p = np.asarray(p, np.float64) + eps
+    q = np.asarray(q, np.float64) + eps
+    p /= p.sum()
+    q /= q.sum()
+    m = 0.5 * (p + q)
+    kl = lambda a, b: float(np.sum(a * np.log(a / b)))  # noqa: E731
+    return 0.5 * kl(p, m) + 0.5 * kl(q, m)
+
+
+def transfer_stats(
+    model,
+    params,
+    dataset,
+    num_classes: int,
+    max_batches: int = 4,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Run all-classes transfer over up to ``max_batches`` batches and
+    summarize output quality. Returns flat floats (JSON-ready)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .decode import style_transfer_all_classes
+
+    # Corpus pitch-class profile per class (the targets to match).
+    class_rows: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
+    for batch in dataset:
+        b = batch.to_batch() if hasattr(batch, "to_batch") else batch
+        for row, cls in zip(np.asarray(b.tokens), np.asarray(b.classes)):
+            class_rows[int(cls)].append(row)
+    corpus_hist = [pitch_class_histogram(rows) for rows in class_rows]
+
+    n_seqs = 0
+    n_terminated = 0
+    lengths: List[int] = []
+    transfer_rows: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
+    source_hists: List[np.ndarray] = []
+    rng = jax.random.key(seed)
+    for bi, batch in enumerate(dataset):
+        if bi >= max_batches:
+            break
+        b = batch.to_batch() if hasattr(batch, "to_batch") else batch
+        rng, key = jax.random.split(rng)
+        seqs, _ = style_transfer_all_classes(
+            model, params,
+            jnp.asarray(b.tokens), jnp.asarray(b.seq_lens),
+            max_len=2 * int(b.tokens.shape[1]),
+            num_classes=num_classes, rng=key,
+        )
+        seqs = np.asarray(seqs)  # [C, B, T]
+        for c in range(num_classes):
+            for row in seqs[c]:
+                n_seqs += 1
+                if np.any(row == EOS_ID):
+                    n_terminated += 1
+                lengths.append(int(np.sum(row != PAD_ID)) - 1)  # minus SOS
+                transfer_rows[c].append(row)
+        source_hists.append(pitch_class_histogram(np.asarray(b.tokens)))
+
+    source_hist = np.mean(source_hists, axis=0)
+    target_js, source_js = [], []
+    for c in range(num_classes):
+        h = pitch_class_histogram(transfer_rows[c])
+        target_js.append(js_divergence(h, corpus_hist[c]))
+        source_js.append(js_divergence(h, source_hist))
+    return {
+        "transfer_sequences": float(n_seqs),
+        "termination_rate": n_terminated / max(n_seqs, 1),
+        "mean_generated_len": float(np.mean(lengths)) if lengths else 0.0,
+        "pitch_js_to_target_class": float(np.mean(target_js)),
+        "pitch_js_to_source_mix": float(np.mean(source_js)),
+    }
