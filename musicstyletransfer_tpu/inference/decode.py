@@ -15,10 +15,11 @@ hypothesis and cache reordering.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..midi.vocab import EOS_ID, PAD_ID, SOS_ID
 from ..models.vae import StyleVAE
@@ -67,8 +68,24 @@ def _filter_logits(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
     return logits
 
 
+def _fused_eligible(model: StyleVAE, batch: int, max_len: int,
+                    top_k: int, top_p: float, greedy: bool) -> bool:
+    """Auto-select the fused Pallas decode kernel (ops/fused_decode.py):
+    TPU backend, transformer decoder, no support filtering, VMEM budget OK.
+    Trace-time decision — all inputs are static under jit."""
+    from ..ops.flash_attention import should_interpret
+    from ..ops.fused_decode import supports_fused_decode
+
+    if top_k > 0 or top_p > 0.0:
+        return False  # support filtering not implemented in the kernel
+    if should_interpret():
+        return False  # Mosaic only compiles for TPU
+    return supports_fused_decode(model.config, batch, max_len)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5),
-                   static_argnames=("max_len", "top_k", "top_p"))
+                   static_argnames=("max_len", "top_k", "top_p", "greedy",
+                                    "use_fused"))
 def sample_sequences(
     model: StyleVAE,
     params,
@@ -80,6 +97,8 @@ def sample_sequences(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 0.0,
+    greedy: bool = False,
+    use_fused: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode + ancestral multinomial decode, fully on device.
 
@@ -95,11 +114,13 @@ def sample_sequences(
     """
     z = _encode_deterministic(model, params, tokens, seq_lens, classes)
     return decode_sampled(model, params, z, classes, max_len, rng, temperature,
-                          top_k=top_k, top_p=top_p)
+                          top_k=top_k, top_p=top_p, greedy=greedy,
+                          use_fused=use_fused)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4),
-                   static_argnames=("max_len", "top_k", "top_p"))
+                   static_argnames=("max_len", "top_k", "top_p", "greedy",
+                                    "use_fused"))
 def decode_sampled(
     model: StyleVAE,
     params,
@@ -110,11 +131,35 @@ def decode_sampled(
     temperature: float = 1.0,
     top_k: int = 0,
     top_p: float = 0.0,
+    greedy: bool = False,
+    use_fused: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Ancestral multinomial decode from (z, classes); ``temperature``
     scales the logits before sampling (1.0 = reference behavior);
-    ``top_k``/``top_p`` restrict the support (see _filter_logits)."""
+    ``top_k``/``top_p`` restrict the support (see _filter_logits);
+    ``greedy=True`` takes the argmax instead of sampling.
+
+    On TPU, eligible configs (see _fused_eligible) run the whole loop as
+    ONE Pallas kernel; set ``use_fused`` to force either path. The fused
+    sampler uses the TPU hardware PRNG — statistically equivalent draws,
+    not bit-identical to ``jax.random.categorical`` under the same key.
+    """
     B = z.shape[0]
+    if use_fused is None:
+        use_fused = _fused_eligible(model, B, max_len, top_k, top_p, greedy)
+    if use_fused:
+        from ..ops.flash_attention import should_interpret
+        from ..ops.fused_decode import fused_decode
+
+        x0 = model.apply(
+            {"params": params}, z, classes, method=StyleVAE.decode_init
+        )
+        seed = jax.random.randint(rng, (), 0, np.iinfo(np.int32).max)
+        return fused_decode(
+            model.config, params, x0, max_len, seed, temperature,
+            mode="greedy" if greedy else "sample",
+            interpret=should_interpret(),
+        )
     cache = model.apply(
         {"params": params}, z, classes, max_len + 1, method=StyleVAE.decode_prefill
     )
@@ -130,7 +175,10 @@ def decode_sampled(
         )
         rng, key = jax.random.split(st.rng)
         filtered = _filter_logits(logits / temperature, top_k, top_p)
-        nxt = jax.random.categorical(key, filtered).astype(jnp.int32)
+        if greedy:
+            nxt = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(key, filtered).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         tok_logp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         scores = st.scores + jnp.where(st.done, 0.0, -tok_logp)

@@ -190,6 +190,10 @@ class StyleVAE(nn.Module):
     ) -> Tuple[jax.Array, Cache]:
         return self.decoder.step_token(token_t, cache, t)
 
+    def decode_init(self, z: jax.Array, classes: jax.Array) -> jax.Array:
+        """[B, D] conditioning state (the fused decode kernel's position 0)."""
+        return self.decoder.initial_state(z, classes)
+
 
 def make_model(config: ModelConfig) -> StyleVAE:
     return StyleVAE(config=config)

@@ -1,0 +1,387 @@
+"""Pallas TPU fused autoregressive decode: the ENTIRE sampling loop in one
+kernel.
+
+The XLA ``lax.while_loop`` decode path (inference/decode.py) re-dispatches
+~20 small ops per generated token; at the flagship decoder's size (1 layer,
+d=128, B=32) each step is overhead-dominated (~26us/step measured on v5e).
+This kernel keeps the decoder weights, the KV cache, and every activation
+resident in VMEM and runs the full generate loop — embed -> attention ->
+FFN -> vocab head -> Gumbel-max sampling -> EOS bookkeeping — as ONE
+Mosaic program, eliminating per-step HBM round trips and dispatch.
+
+Semantics mirror ``inference/decode.py::decode_sampled`` and the flax
+decode path (models/vae.py::VAEDecoder.step_token + transformer.py step):
+
+- position 0 processes the conditioning state ``latent2hid(z)+class_emb``
+  (reference: model.py:229-232); its head output is unused;
+- per step t: x = sqrt(d)*emb[token] + pos[t]; per layer post-LN attention
+  over cache[0..t] and 4x ReLU FFN; f32 vocab head; multinomial sample
+  (Gumbel-max over logits/temperature); scores accumulate -log p of the
+  emitted token; sequences that emit EOS continue as PAD (reference quirk
+  §8.9 fixed, same as the XLA path).
+
+Attention layout: the KV cache is [T, B, D] (lane dim = model dim = a
+multiple of 128 at flagship size); per-head score/value contractions are
+expressed as full-width VPU elementwise ops plus two tiny MXU "segment"
+matmuls against the head-membership matrix E[d, h] = (d // head_dim == h),
+so nothing ever leaves VMEM and no per-head batched matmul loop is needed.
+
+Eligibility is budgeted by ``supports_fused_decode`` (transformer decoder,
+cache + weights fit in VMEM); callers fall back to the XLA while_loop path
+otherwise (e.g. the 256-sequence service batch or the scaled L=512 config).
+
+RNG: the TPU hardware PRNG (pltpu.prng_*), seeded from the caller's JAX
+key — statistically equivalent multinomial sampling, not bit-identical to
+``jax.random.categorical``. Greedy and teacher-forced modes are exactly
+deterministic and are cross-checked against the XLA path in
+tests/test_fused_decode.py (interpreter mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..midi.vocab import EOS_ID, PAD_ID, SOS_ID
+from ..models.transformer import positional_encodings
+
+_NEG_INF = -1e30
+
+# Conservative VMEM budget (bytes) for cache + weights + activations;
+# v5e has ~16 MiB/core and Mosaic needs headroom for double buffering.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def supports_fused_decode(config, batch: int, max_len: int) -> bool:
+    """True when the decoder fits this kernel: transformer type, head_dim
+    divides lanes cleanly, and cache+weights fit the VMEM budget."""
+    dc = config.decoder_config
+    if getattr(dc, "decoder_type", "transformer") == "lstm":
+        return False
+    tc = dc.transformer_config
+    d, L, V = tc.model_size, tc.num_layers, dc.output_dim
+    if d % tc.num_heads != 0 or d % 128 != 0:
+        return False
+    itemsize = 2 if config.dtype == "bfloat16" else 4
+    cache = 2 * L * max_len * batch * d * itemsize
+    ffn = d * d * tc.ffn_multiplier * itemsize
+    weights = L * (4 * d * d + 2 * ffn) * itemsize + 2 * V * d * 4
+    act = 6 * max_len * batch * d * itemsize + 4 * batch * V * 4
+    return cache + weights + act < _VMEM_BUDGET
+
+
+def _gather_weights(params, config, cdtype):
+    """Flatten the flax decoder params into the kernel's input list.
+
+    Layout per layer (16 arrays): w_q, b_q, w_k, b_k, w_v, b_v, w_o, b_o,
+    ln1_scale, ln1_bias, ff1_w, ff1_b, ff2_w, ff2_b, ln2_scale, ln2_bias.
+    LN params and the vocab head stay f32 (flax computes LN in f32 and
+    output_layer is an f32 Dense); everything else is cast to the model's
+    compute dtype, matching flax Dense/Embed dtype casting.
+    """
+    dec = params["decoder"]
+    stack = dec["decoder"]
+    tc = config.decoder_config.transformer_config
+
+    def c(x):
+        return jnp.asarray(x, cdtype)
+
+    def r2(x):  # biases / LN vectors as [1, N] (2-D for Mosaic)
+        return jnp.reshape(x, (1, -1))
+
+    ws = [c(dec["token_emb"]["embedding"])]
+    for i in range(tc.num_layers):
+        layer = stack[f"layer{i}"]
+        att = layer["attention"]
+        for lin in ("w_q", "w_k", "w_v", "w_o"):
+            ws.append(c(att[lin]["kernel"]))
+            ws.append(c(r2(att[lin]["bias"])))
+        ws.append(r2(jnp.asarray(layer["ln1"]["scale"], jnp.float32)))
+        ws.append(r2(jnp.asarray(layer["ln1"]["bias"], jnp.float32)))
+        ws.append(c(layer["ff"]["ff1"]["kernel"]))
+        ws.append(c(r2(layer["ff"]["ff1"]["bias"])))
+        ws.append(c(layer["ff"]["ff2"]["kernel"]))
+        ws.append(c(r2(layer["ff"]["ff2"]["bias"])))
+        ws.append(r2(jnp.asarray(layer["ln2"]["scale"], jnp.float32)))
+        ws.append(r2(jnp.asarray(layer["ln2"]["bias"], jnp.float32)))
+    ws.append(jnp.asarray(dec["output_layer"]["kernel"], jnp.float32))
+    ws.append(r2(jnp.asarray(dec["output_layer"]["bias"], jnp.float32)))
+    return ws
+
+
+def _layer_norm(x32, scale_ref, bias_ref, cdtype):
+    """flax nn.LayerNorm semantics: all-f32 math, cast at the end."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    cen = x32 - mean
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    y = cen * jax.lax.rsqrt(var + 1e-6)
+    return (y * scale_ref[0, :] + bias_ref[0, :]).astype(cdtype)
+
+
+def _dense(x, w_ref, b_ref, cdtype):
+    """flax nn.Dense(dtype=cdtype): cdtype matmul (f32 accumulate on MXU),
+    result cast back to cdtype, then the cdtype bias add."""
+    y = jnp.dot(x, w_ref[:, :], preferred_element_type=jnp.float32)
+    return y.astype(cdtype) + b_ref[0, :]
+
+
+def _head_matrix(d: int, h: int, dtype):
+    """E[d, h] = 1 where lane d belongs to head h (built in-kernel)."""
+    hd = d // h
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (d, h), 0)
+    heads = jax.lax.broadcasted_iota(jnp.int32, (d, h), 1)
+    return (lanes // hd == heads).astype(dtype)
+
+
+def _make_kernel(config, B, T, mode, cdtype):
+    """Build the kernel body for a static (config, batch, max_len, mode)."""
+    tc = config.decoder_config.transformer_config
+    D = tc.model_size
+    H = tc.num_heads
+    HDIM = D // H
+    V = config.decoder_config.output_dim
+    NL = tc.num_layers
+    FF = D * tc.ffn_multiplier
+    scale = float(np.sqrt(D))
+    att_scale = float(1.0 / np.sqrt(HDIM))
+
+    def layer_step(x, t, layer_ws, ck_ref, cv_ref, e_mat, et_mat, t_iota):
+        """One transformer layer at position t. x: [B, D] cdtype."""
+        (wq, bq, wk, bk, wv, bv, wo, bo,
+         ln1s, ln1b, ff1w, ff1b, ff2w, ff2b, ln2s, ln2b) = layer_ws
+        q = _dense(x, wq, bq, cdtype)  # [B, D]
+        k = _dense(x, wk, bk, cdtype)
+        v = _dense(x, wv, bv, cdtype)
+        ck_ref[pl.ds(t, 1), :, :] = k[None]
+        cv_ref[pl.ds(t, 1), :, :] = v[None]
+
+        # Scores: s[tau, b, h] = sum_d K[tau,b,d] q[b,d] E[d,h] / sqrt(hd)
+        p = ck_ref[:, :, :] * q[None, :, :]  # [T, B, D] VPU
+        s = jnp.dot(
+            p.reshape(T * B, D), e_mat, preferred_element_type=jnp.float32
+        ).reshape(T, B, H) * att_scale
+        # Match the flax step path: bf16 logits when cdtype is bf16
+        # (jnp.einsum there stays in q.dtype), softmax then in that dtype.
+        s = s.astype(cdtype).astype(jnp.float32)
+        valid = (t_iota <= t)[:, None, None]  # cache slots written so far
+        s = jnp.where(valid, s, _NEG_INF)
+        m = jnp.max(s, axis=0, keepdims=True)
+        ex = jnp.exp(s - m)
+        probs = (ex / jnp.sum(ex, axis=0, keepdims=True)).astype(cdtype)
+        # Out: o[b, d] = sum_tau probs[tau, b, head(d)] V[tau, b, d]
+        pfull = jnp.dot(
+            probs.reshape(T * B, H), et_mat, preferred_element_type=jnp.float32
+        ).astype(cdtype).reshape(T, B, D)
+        o = jnp.sum(
+            (pfull * cv_ref[:, :, :]).astype(jnp.float32), axis=0
+        ).astype(cdtype)
+        att = _dense(o, wo, bo, cdtype)
+
+        x = _layer_norm((x + att).astype(jnp.float32), ln1s, ln1b, cdtype)
+        ff = _dense(x, ff1w, ff1b, cdtype)
+        ff = jnp.maximum(ff, 0)
+        ff = _dense(ff, ff2w, ff2b, cdtype)
+        return _layer_norm((x + ff).astype(jnp.float32), ln2s, ln2b, cdtype)
+
+    def kernel(*refs):
+        # Inputs: seed(SMEM), temp(SMEM), x0, pos, forced, emb, 16 per layer,
+        # head_w, head_b. Outputs: seqs [T, B], scores [B, 1]
+        # (+ logits [T, B, V] in forced mode). Scratch: 2*NL cache refs.
+        (seed_ref, temp_ref, x0_ref, pos_ref, forced_ref, emb_ref), rest = (
+            refs[:6], refs[6:]
+        )
+        layer_refs = [rest[16 * i : 16 * (i + 1)] for i in range(NL)]
+        rest = rest[16 * NL :]
+        head_w_ref, head_b_ref = rest[:2]
+        rest = rest[2:]
+        if mode == "forced":
+            seqs_ref, scores_ref, logits_ref = rest[:3]
+            rest = rest[3:]
+        else:
+            seqs_ref, scores_ref = rest[:2]
+            rest = rest[2:]
+        # Scratch: per-layer caches, then the [1, B] done-mask row.
+        # Loop-carried VECTOR state does not legalize through Mosaic's
+        # scf.while lowering — only scalars ride the while carry; the
+        # per-row done mask and running scores live in VMEM refs, and the
+        # previous token is re-read from seqs_ref (exactly what the XLA
+        # path does with its seqs array).
+        cache_refs = [(rest[2 * i], rest[2 * i + 1]) for i in range(NL)]
+        done_ref = rest[2 * NL]
+
+        if mode == "sample":
+            pltpu.prng_seed(seed_ref[0, 0])
+
+        # Zero-init caches and outputs: scratch/output VMEM is uninitialized
+        # (NaN-filled in interpret mode), the value contraction multiplies
+        # masked probabilities (0) into unwritten cache rows, and an early
+        # EOS exit leaves tail rows of seqs/logits unwritten.
+        for ck, cv in cache_refs:
+            ck[:, :, :] = jnp.zeros((T, B, D), ck.dtype)
+            cv[:, :, :] = jnp.zeros((T, B, D), cv.dtype)
+        seqs_ref[:, :] = jnp.full((T, B), PAD_ID, jnp.int32)
+        done_ref[:, :] = jnp.zeros((1, B), jnp.int32)
+        scores_ref[:, :] = jnp.zeros((1, B), jnp.float32)
+        if mode == "forced":
+            logits_ref[:, :, :] = jnp.zeros((T, B, V), jnp.float32)
+
+        e_mat = _head_matrix(D, H, cdtype)
+        et_mat = e_mat.T
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
+        v_iota = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+
+        def run_stack(x, t):
+            for lws, (ck, cv) in zip(layer_refs, cache_refs):
+                x = layer_step(x, t, lws, ck, cv, e_mat, et_mat, t_iota)
+            return x
+
+        # Position 0: the conditioning state; head output unused.
+        x0 = scale * x0_ref[:, :].astype(cdtype) + pos_ref[0, :].astype(cdtype)
+        run_stack(x0, 0)
+        seqs_ref[0, :] = jnp.full((B,), SOS_ID, jnp.int32)
+
+        def step(carry):
+            t, _ = carry
+            last = seqs_ref[pl.ds(t - 1, 1), :][0]
+            done = done_ref[0, :] != 0
+            scores = scores_ref[0, :]
+            onehot = (v_iota == last[:, None]).astype(cdtype)
+            x = jnp.dot(onehot, emb_ref[:, :],
+                        preferred_element_type=jnp.float32).astype(cdtype)
+            x = scale * x + pos_ref[pl.ds(t, 1), :][0].astype(cdtype)
+            h = run_stack(x, t)
+            logits = jnp.dot(
+                h.astype(jnp.float32), head_w_ref[:, :],
+                preferred_element_type=jnp.float32,
+            ) + head_b_ref[0, :]  # [B, V] f32
+
+            if mode == "forced":
+                logits_ref[pl.ds(t, 1), :, :] = logits[None]
+                nxt = forced_ref[pl.ds(t, 1), :][0]
+            elif mode == "greedy":
+                nxt = _argmax_lanes(logits, v_iota)
+            else:
+                bits = pltpu.prng_random_bits((B, V))
+                u = (bits >> 8).astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
+                gumbel = -jnp.log(-jnp.log(u))
+                nxt = _argmax_lanes(logits / temp_ref[0, 0] + gumbel, v_iota)
+
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1)) + m[:, 0]
+            tok_logit = jnp.sum(
+                jnp.where(v_iota == nxt[:, None], logits, 0.0), axis=-1
+            )
+            step_nll = lse - tok_logit  # -log p of the emitted token
+            scores_ref[0, :] = scores + jnp.where(done, 0.0, step_nll)
+            if mode == "forced":
+                new_done = done
+            else:
+                new_done = done | (nxt == EOS_ID)
+                nxt = jnp.where(done, PAD_ID, nxt)
+            done_ref[0, :] = new_done.astype(jnp.int32)
+            seqs_ref[pl.ds(t, 1), :] = nxt[None]
+            return t + 1, jnp.all(new_done).astype(jnp.int32)
+
+        def cond(carry):
+            t, all_done = carry
+            return (t < T) & (all_done == 0)
+
+        jax.lax.while_loop(
+            cond, step, (jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32))
+        )
+
+    return kernel
+
+
+def _argmax_lanes(x, lane_iota):
+    """First-occurrence argmax over the lane axis (jnp.argmax semantics)."""
+    m = jnp.max(x, axis=-1, keepdims=True)
+    hit = x >= m
+    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    return jnp.min(jnp.where(hit, lane_iota, big), axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 3),
+    static_argnames=("max_len", "mode", "interpret"),
+)
+def fused_decode(
+    config,
+    params,
+    x0: jax.Array,
+    max_len: int,
+    seed: jax.Array,
+    temperature: float = 1.0,
+    mode: str = "sample",
+    forced_tokens: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Run the fused decode kernel.
+
+    config: ModelConfig (static/hashable); params: the StyleVAE param tree;
+    x0: [B, D] conditioning state (``VAEDecoder.initial_state(z, classes)``);
+    seed: int32 scalar array seeding the TPU PRNG (``mode="sample"`` only).
+
+    mode: "sample" (Gumbel-max multinomial), "greedy" (argmax), or
+    "forced" (teacher-forced: emits ``forced_tokens`` and returns the
+    per-step logits — the parity-test hook).
+
+    Returns (seqs [B, max_len], scores [B]) — and logits [B, max_len, V]
+    as a third element in forced mode (position 0 row is zeros).
+    """
+    tc = config.decoder_config.transformer_config
+    D, V, NL = tc.model_size, config.decoder_config.output_dim, tc.num_layers
+    B = x0.shape[0]
+    T = max_len
+    cdtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+    ws = _gather_weights(params, config, cdtype)
+    pos = jnp.asarray(positional_encodings(D, T), jnp.float32)
+    if forced_tokens is None:
+        forced = jnp.zeros((T, B), jnp.int32)
+    else:
+        forced = forced_tokens.T.astype(jnp.int32)
+
+    kernel = _make_kernel(config, B, T, mode, cdtype)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B), jnp.int32),  # seqs (transposed)
+        jax.ShapeDtypeStruct((1, B), jnp.float32),  # scores (row vector)
+    ]
+    if mode == "forced":
+        out_shape.append(jax.ShapeDtypeStruct((T, B, V), jnp.float32))
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_inputs = 5 + len(ws)  # seed, temp, x0, pos, forced + weights (incl. emb)
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[smem, smem] + [vmem] * (n_inputs - 2),
+        out_specs=[vmem] * len(out_shape),
+        scratch_shapes=(
+            [pltpu.VMEM((T, B, D), cdtype) for _ in range(2 * NL)]
+            + [pltpu.VMEM((1, B), jnp.int32)]  # done mask
+        ),
+        interpret=interpret,
+    )(
+        jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1)),
+        jnp.full((1, 1), temperature, jnp.float32),
+        x0,
+        pos,
+        forced,
+        *ws,
+    )
+    seqs = outs[0].T
+    scores = outs[1][0, :]
+    if mode == "forced":
+        return seqs, scores, outs[2].transpose(1, 0, 2)
+    return seqs, scores

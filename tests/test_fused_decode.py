@@ -1,0 +1,206 @@
+"""Fused Pallas decode kernel (ops/fused_decode.py) vs the XLA loop.
+
+Runs the kernel in Pallas interpreter mode on CPU. The deterministic modes
+(teacher-forced, greedy) are cross-checked exactly against the flax
+decode_step loop; the sampled mode needs the TPU hardware PRNG and is
+exercised by bench.py on hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicstyletransfer_tpu.inference.decode import decode_sampled
+from musicstyletransfer_tpu.midi.vocab import EOS_ID, PAD_ID, SOS_ID
+from musicstyletransfer_tpu.models import (
+    DecoderConfig,
+    EncoderConfig,
+    ModelConfig,
+    TransformerConfig,
+    init_params,
+    make_model,
+)
+from musicstyletransfer_tpu.models.vae import StyleVAE
+from musicstyletransfer_tpu.ops.fused_decode import (
+    fused_decode,
+    supports_fused_decode,
+)
+
+
+def fused_config(dtype="float32", layers=1, d=128, vocab=293):
+    tc = TransformerConfig(
+        model_size=d, dropout=0.0, num_layers=layers, num_heads=8,
+        vocab_size=vocab,
+    )
+    return ModelConfig(
+        encoder_config=EncoderConfig(
+            transformer_config=tc, latent_dim=32, num_classes=2,
+            input_dim=vocab,
+        ),
+        decoder_config=DecoderConfig(
+            transformer_config=tc, latent_dim=32, num_classes=2,
+            output_dim=vocab,
+        ),
+        dtype=dtype,
+    )
+
+
+@pytest.fixture(scope="module", params=["float32"])
+def setup(request):
+    cfg = fused_config(dtype=request.param)
+    model = make_model(cfg)
+    params = init_params(model, jax.random.key(0), max_seq_len=8)
+    B = 4
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(B, 32)).astype(np.float32))
+    classes = jnp.asarray(rng.integers(0, 2, (B,)).astype(np.int32))
+    x0 = model.apply({"params": params}, z, classes,
+                     method=StyleVAE.decode_init)
+    return cfg, model, params, z, classes, x0
+
+
+def xla_forced_logits(model, params, z, classes, forced, T):
+    """Teacher-forced logit trajectory via the flax decode_step loop."""
+    cache = model.apply({"params": params}, z, classes, T + 1,
+                        method=StyleVAE.decode_prefill)
+    last = jnp.full((z.shape[0],), SOS_ID, jnp.int32)
+    out = []
+    for t in range(1, T):
+        lg, cache = model.apply(
+            {"params": params}, last, cache, jnp.asarray(t),
+            method=StyleVAE.decode_step,
+        )
+        out.append(lg)
+        last = forced[:, t]
+    return jnp.stack(out, axis=1)  # [B, T-1, V]
+
+
+class TestForcedParity:
+    def test_logits_match_xla_loop(self, setup):
+        cfg, model, params, z, classes, x0 = setup
+        T = 12
+        rng = np.random.default_rng(1)
+        forced = jnp.asarray(
+            rng.integers(3, 293, (z.shape[0], T)).astype(np.int32)
+        )
+        _, _, logits = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=forced, interpret=True,
+        )
+        ref = xla_forced_logits(model, params, z, classes, forced, T)
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 1:T, :]), np.asarray(ref), atol=1e-4
+        )
+
+    def test_two_layer_decoder(self):
+        cfg = fused_config(layers=2)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(3), max_seq_len=8)
+        B, T = 2, 8
+        rng = np.random.default_rng(2)
+        z = jnp.asarray(rng.normal(size=(B, 32)).astype(np.float32))
+        classes = jnp.zeros((B,), jnp.int32)
+        x0 = model.apply({"params": params}, z, classes,
+                         method=StyleVAE.decode_init)
+        forced = jnp.asarray(rng.integers(3, 293, (B, T)).astype(np.int32))
+        _, _, logits = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=forced, interpret=True,
+        )
+        ref = xla_forced_logits(model, params, z, classes, forced, T)
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 1:T, :]), np.asarray(ref), atol=1e-4
+        )
+
+
+class TestGreedyParity:
+    def test_tokens_and_scores_match_xla_greedy(self, setup):
+        cfg, model, params, z, classes, x0 = setup
+        T = 16
+        f_seqs, f_scores = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="greedy", interpret=True
+        )
+        x_seqs, x_scores = decode_sampled(
+            model, params, z, classes, T, jax.random.key(0), greedy=True,
+            use_fused=False,
+        )
+        np.testing.assert_array_equal(np.asarray(f_seqs), np.asarray(x_seqs))
+        np.testing.assert_allclose(
+            np.asarray(f_scores), np.asarray(x_scores), rtol=1e-4, atol=1e-4
+        )
+
+    def test_route_through_decode_sampled(self, setup):
+        """use_fused=True routes decode_sampled through the kernel."""
+        cfg, model, params, z, classes, x0 = setup
+        T = 10
+        f_seqs, _ = decode_sampled(
+            model, params, z, classes, T, jax.random.key(0), greedy=True,
+            use_fused=True,
+        )
+        x_seqs, _ = decode_sampled(
+            model, params, z, classes, T, jax.random.key(0), greedy=True,
+            use_fused=False,
+        )
+        np.testing.assert_array_equal(np.asarray(f_seqs), np.asarray(x_seqs))
+
+    def test_eos_early_exit_pads_tail(self, setup):
+        """Bias the head toward EOS: every row finishes at t=1 and the
+        kernel's early exit must leave PAD (not garbage) in the tail."""
+        cfg, model, params, z, classes, x0 = setup
+        T = 12
+        bias = np.zeros((293,), np.float32)
+        bias[EOS_ID] = 1e4
+        biased = jax.tree_util.tree_map(lambda x: x, params)
+        biased["decoder"]["output_layer"]["bias"] = jnp.asarray(bias)
+        seqs, _ = fused_decode(
+            cfg, biased, x0, T, jnp.asarray(0), mode="greedy", interpret=True
+        )
+        s = np.asarray(seqs)
+        assert np.all(s[:, 0] == SOS_ID)
+        assert np.all(s[:, 1] == EOS_ID)
+        assert np.all(s[:, 2:] == PAD_ID)
+
+
+class TestBf16:
+    def test_forced_close_to_xla(self):
+        cfg = fused_config(dtype="bfloat16")
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(1), max_seq_len=8)
+        B, T = 2, 8
+        rng = np.random.default_rng(5)
+        z = jnp.asarray(rng.normal(size=(B, 32)).astype(np.float32))
+        classes = jnp.zeros((B,), jnp.int32)
+        x0 = model.apply({"params": params}, z, classes,
+                         method=StyleVAE.decode_init)
+        forced = jnp.asarray(rng.integers(3, 293, (B, T)).astype(np.int32))
+        _, _, logits = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=forced, interpret=True,
+        )
+        ref = xla_forced_logits(model, params, z, classes, forced, T)
+        # bf16 activations: the kernel does softmax statistics in f32 while
+        # flax softmaxes in bf16 — allow bf16-scale disagreement.
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 1:T, :]), np.asarray(ref), atol=0.15
+        )
+
+
+class TestEligibility:
+    def test_flagship_supported(self):
+        cfg = fused_config(dtype="bfloat16")
+        assert supports_fused_decode(cfg, batch=32, max_len=130)
+
+    def test_service_batch_too_large(self):
+        cfg = fused_config(dtype="bfloat16")
+        assert not supports_fused_decode(cfg, batch=256, max_len=130)
+
+    def test_lstm_not_supported(self):
+        cfg = fused_config()
+        dc = cfg.decoder_config.copy(decoder_type="lstm")
+        cfg = cfg.copy(decoder_config=dc)
+        assert not supports_fused_decode(cfg, batch=32, max_len=130)
+
+    def test_odd_model_size_not_supported(self):
+        cfg = fused_config(d=64)
+        assert not supports_fused_decode(cfg, batch=32, max_len=130)
