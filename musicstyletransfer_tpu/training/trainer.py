@@ -146,6 +146,7 @@ class Trainer:
         self._metric_acc = None
         self.progress = ckpt.TrainingProgress()
         self._batches_at_start = 0
+        self._last_ckpt_batches = 0
         self._stop_requested = False
         self._writer = None
         # One long-lived async checkpointer: saves overlap training instead
@@ -246,6 +247,10 @@ class Trainer:
         self, dataset, model_folder, epochs, validation_dataset, start_time
     ) -> None:
         cfg = self.config
+        # Batch count at the last durable checkpoint: a completed run must
+        # never end checkpoint-less (the reference only saves on frequency
+        # ticks, so short runs left nothing for the sampler to load).
+        self._last_ckpt_batches = self.progress.n_batches
         for epoch in range(epochs):
             for batch in dataset:
                 if cfg.profile_dir is not None:
@@ -292,6 +297,11 @@ class Trainer:
                         ),
                         dataset.num_classes(),
                     )
+        # Normal completion: persist any work since the last checkpoint tick
+        # so every finished run is loadable by the sampler/eval CLIs.
+        if self.progress.n_batches != self._last_ckpt_batches:
+            self._checkpoint(model_folder, validation_dataset)
+            print(f"Final checkpoint {self.progress.n_checkpoints} written.")
 
     # ------------------------------------------------------------------
 
@@ -361,6 +371,7 @@ class Trainer:
         return vals["total_loss"]
 
     def _checkpoint(self, model_folder: str, validation_dataset) -> None:
+        self._last_ckpt_batches = self.progress.n_batches
         self.progress.n_checkpoints += 1
         print(f"\nCheckpoint {self.progress.n_checkpoints} reached.")
         if self.dist is None or self.dist.is_primary:

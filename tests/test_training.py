@@ -420,6 +420,41 @@ class TestOptimizerExtras:
         )
 
 
+class TestFinalCheckpoint:
+    def test_completed_run_is_loadable(self, tmp_path):
+        """A run that finishes before any checkpoint-frequency tick must
+        still leave a checkpoint (otherwise the sampler/eval CLIs have
+        nothing to load from a 'Training finished.' run)."""
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        folder = str(tmp_path)
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=10**9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/fc-tb")
+        t = Trainer(tcfg, model, params, sampler=None)
+        t.fit(ToyData(), folder, epochs=2)
+        assert get_latest_checkpoint_index(folder) == 1
+        restored = restore_checkpoint(
+            folder, 1,
+            create_train_state(
+                params,
+                build_optimizer(tcfg.optimizer),
+                jax.random.key(5, impl="rbg"),
+            ),
+        )
+        assert int(restored.step) == 2
+
+        # Resuming with no new work must not write another checkpoint.
+        t2 = Trainer(tcfg, model, params, sampler=None)
+        t2.fit(ToyData(), folder, epochs=0)
+        assert get_latest_checkpoint_index(folder) == 1
+
+
 class TestCrashRecovery:
     def test_corrupt_checkpoint_falls_back_to_fresh(self, tmp_path, capsys):
         """A mangled params.N dir must not kill training (reference
@@ -485,16 +520,17 @@ class TestAsyncCheckpointing:
                            num_checkpoints_not_improved=-1, prefetch=0,
                            logdir="/tmp/ac-tb")
         t1 = Trainer(tcfg, model, params, sampler=None)
-        t1.fit(ToyData(), folder, epochs=5)  # 5 batches -> 2 checkpoints
-        assert get_latest_checkpoint_index(folder) == 2
+        # 5 batches -> ticks at 2 and 4, plus the completion checkpoint at 5
+        t1.fit(ToyData(), folder, epochs=5)
+        assert get_latest_checkpoint_index(folder) == 3
         assert t1._checkpointer is not None  # async path was used
 
         t2 = Trainer(tcfg, model, params, sampler=None)
         t2.fit(ToyData(), folder, epochs=6)
-        # resumed at the last checkpoint (batch 4), trained 6 more
-        assert t2.progress.n_batches == 10
+        # resumed at the final checkpoint (batch 5), trained 6 more
+        assert t2.progress.n_batches == 11
         # the resumed step counter continued from the restored state
-        assert int(t2.state.step) == 10
+        assert int(t2.state.step) == 11
 
 
 class TestGracefulShutdown:
