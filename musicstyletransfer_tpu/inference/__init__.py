@@ -1,5 +1,10 @@
 from .decode import beam_search, decode_beam, decode_sampled, sample_sequences
 from .sampler import BeamSearchSampler, Sampling, SamplerBase, get_sampler, load_inference_model
+from .sharded import (
+    prepare_params,
+    sharded_sample_sequences,
+    sharded_style_transfer_all_classes,
+)
 
 __all__ = [
     "beam_search",
@@ -11,4 +16,7 @@ __all__ = [
     "SamplerBase",
     "get_sampler",
     "load_inference_model",
+    "prepare_params",
+    "sharded_sample_sequences",
+    "sharded_style_transfer_all_classes",
 ]

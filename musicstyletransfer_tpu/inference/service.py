@@ -55,7 +55,11 @@ class StyleTransferService:
         max_seq_len: int = 64,
         max_wait_ms: float = 10.0,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — serve the micro-batch
+        sharded over its data axis (params placed per the TP rules once,
+        here). None = single-device fused path."""
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
         )
@@ -63,6 +67,11 @@ class StyleTransferService:
         self.batch_size = batch_size
         self.max_seq_len = max_seq_len
         self.max_wait_ms = max_wait_ms
+        self.mesh = mesh
+        if mesh is not None:
+            from .sharded import prepare_params
+
+            self.params = prepare_params(self.params, mesh)
         self._rng = jax.random.key(seed)
         self._writer = MelodyWriter()
         self._queue: "queue.Queue" = queue.Queue()
@@ -108,15 +117,30 @@ class StyleTransferService:
         assert 0 < len(token_lists) <= self.batch_size
         tokens, seq_lens = self._make_batch(token_lists)
         self._rng, key = jax.random.split(self._rng)
-        seqs, _scores = style_transfer_all_classes(
-            self.model,
-            self.params,
-            jnp.asarray(tokens),
-            jnp.asarray(seq_lens),
-            2 * (self.max_seq_len + 1),
-            self.num_classes,
-            key,
-        )
+        if self.mesh is not None:
+            from .sharded import sharded_style_transfer_all_classes
+
+            seqs, _scores = sharded_style_transfer_all_classes(
+                self.model,
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(seq_lens),
+                2 * (self.max_seq_len + 1),
+                self.num_classes,
+                key,
+                self.mesh,
+                params_on_mesh=True,
+            )
+        else:
+            seqs, _scores = style_transfer_all_classes(
+                self.model,
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(seq_lens),
+                2 * (self.max_seq_len + 1),
+                self.num_classes,
+                key,
+            )
         seqs = np.asarray(seqs)  # [C, B, T]
         results = []
         for i in range(len(token_lists)):

@@ -80,6 +80,19 @@ class TestService:
         assert len(got) == 3
         assert all(set(r.midi_by_class) == {0, 1, 2} for r in got)
 
+    def test_mesh_sharded_service(self, model_folder, cpu_devices):
+        """mesh= serves the micro-batch sharded over the data axis."""
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+        from musicstyletransfer_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8, mesh=mesh)
+        result = svc.submit_midi(_midi_bytes())
+        assert set(result.midi_by_class) == {0, 1, 2}
+        for midi in result.midi_by_class.values():
+            assert smf.parse_midifile(midi).resolution > 0
+
     def test_rejects_empty_midi(self, model_folder):
         from musicstyletransfer_tpu.inference.service import StyleTransferService
 

