@@ -80,7 +80,9 @@ def _fused_eligible(model: StyleVAE, batch: int, max_len: int,
         return False  # support filtering not implemented in the kernel
     if should_interpret():
         return False  # Mosaic only compiles for TPU
-    return supports_fused_decode(model.config, batch, max_len)
+    # max_grid=2: beyond two sequential batch tiles the XLA loop's
+    # big-batch matmuls win (measured; see supports_fused_decode).
+    return supports_fused_decode(model.config, batch, max_len, max_grid=2)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5),

@@ -58,22 +58,59 @@ _NEG_INF = -1e30
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def supports_fused_decode(config, batch: int, max_len: int) -> bool:
-    """True when the decoder fits this kernel: transformer type, head_dim
-    divides lanes cleanly, and cache+weights fit the VMEM budget."""
+def _tile_fits(config, batch: int, max_len: int) -> bool:
+    """VMEM footprint check for one batch tile of the kernel."""
     dc = config.decoder_config
-    if getattr(dc, "decoder_type", "transformer") == "lstm":
-        return False
     tc = dc.transformer_config
     d, L, V = tc.model_size, tc.num_layers, dc.output_dim
-    if d % tc.num_heads != 0 or d % 128 != 0:
-        return False
     itemsize = 2 if config.dtype == "bfloat16" else 4
     cache = 2 * L * max_len * batch * d * itemsize
     ffn = d * d * tc.ffn_multiplier * itemsize
     weights = L * (4 * d * d + 2 * ffn) * itemsize + 2 * V * d * 4
     act = 6 * max_len * batch * d * itemsize + 4 * batch * V * 4
     return cache + weights + act < _VMEM_BUDGET
+
+
+def select_batch_tile(config, batch: int, max_len: int) -> Optional[int]:
+    """Pick the batch-tile size: the whole batch when it fits (grid of 1 —
+    the fast path), else the largest sublane-aligned (multiple-of-8) divisor
+    of ``batch`` whose per-tile cache+weights+activations fit VMEM. Rows are
+    independent in decode, so tiles are exact, not an approximation.
+    Returns None when no admissible tile exists."""
+    if _tile_fits(config, batch, max_len):
+        return batch
+    for tile in range(batch // 2, 7, -1):
+        if batch % tile == 0 and tile % 8 == 0 and _tile_fits(
+            config, tile, max_len
+        ):
+            return tile
+    return None
+
+
+def supports_fused_decode(
+    config, batch: int, max_len: int, max_grid: Optional[int] = None
+) -> bool:
+    """True when the decoder fits this kernel: transformer type, head_dim
+    divides lanes cleanly, and some batch tile fits the VMEM budget.
+
+    ``max_grid`` bounds the number of sequential batch tiles. Tiles
+    sequentialize the decode loop (grid g = g * max_len small steps), so
+    the kernel only beats the XLA while_loop while per-step cost is
+    dispatch-bound — measured on v5e at the flagship config: 2.3x faster
+    at grid 1, still ahead at grid 2, LOSING by ~1.3x at grid 8 (the
+    256-row service batch, where the XLA loop's big-batch matmuls win).
+    Auto-selection (inference/decode.py) passes max_grid=2; pass None to
+    ask about capability alone."""
+    dc = config.decoder_config
+    if getattr(dc, "decoder_type", "transformer") == "lstm":
+        return False
+    tc = dc.transformer_config
+    if tc.model_size % tc.num_heads != 0 or tc.model_size % 128 != 0:
+        return False
+    tile = select_batch_tile(config, batch, max_len)
+    if tile is None:
+        return False
+    return max_grid is None or batch // tile <= max_grid
 
 
 def _gather_weights(params, config, cdtype):
@@ -216,7 +253,8 @@ def _make_kernel(config, B, T, mode, cdtype):
         done_ref = rest[2 * NL]
 
         if mode == "sample":
-            pltpu.prng_seed(seed_ref[0, 0])
+            # Decorrelate batch tiles: each grid step draws its own stream.
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
         # Zero-init caches and outputs: scratch/output VMEM is uninitialized
         # (NaN-filled in interpret mode), the value contraction multiplies
@@ -310,7 +348,7 @@ def _argmax_lanes(x, lane_iota):
 @functools.partial(
     jax.jit,
     static_argnums=(0, 3),
-    static_argnames=("max_len", "mode", "interpret"),
+    static_argnames=("max_len", "mode", "interpret", "batch_tile"),
 )
 def fused_decode(
     config,
@@ -322,6 +360,7 @@ def fused_decode(
     mode: str = "sample",
     forced_tokens: Optional[jax.Array] = None,
     interpret: bool = False,
+    batch_tile: Optional[int] = None,
 ):
     """Run the fused decode kernel.
 
@@ -333,6 +372,12 @@ def fused_decode(
     "forced" (teacher-forced: emits ``forced_tokens`` and returns the
     per-step logits — the parity-test hook).
 
+    Batches whose KV cache exceeds the VMEM budget are processed as a
+    sequential Pallas grid over independent batch tiles (weights stay
+    resident; each tile re-runs the decode loop on its rows) — one kernel
+    launch regardless of batch size. ``batch_tile`` overrides the tile
+    choice (must divide the batch and fit VMEM; mainly for tests).
+
     Returns (seqs [B, max_len], scores [B]) — and logits [B, max_len, V]
     as a third element in forced mode (position 0 row is zeros).
     """
@@ -342,6 +387,16 @@ def fused_decode(
     T = max_len
     cdtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
 
+    Bt = batch_tile if batch_tile is not None else select_batch_tile(
+        config, B, T
+    )
+    if Bt is None or B % Bt != 0:
+        raise ValueError(
+            f"no admissible batch tile for B={B}, T={T} "
+            f"(requested {batch_tile})"
+        )
+    grid = B // Bt
+
     ws = _gather_weights(params, config, cdtype)
     pos = jnp.asarray(positional_encodings(D, T), jnp.float32)
     if forced_tokens is None:
@@ -349,39 +404,61 @@ def fused_decode(
     else:
         forced = forced_tokens.T.astype(jnp.int32)
 
-    kernel = _make_kernel(config, B, T, mode, cdtype)
+    kernel = _make_kernel(config, Bt, T, mode, cdtype)
+
+    # Batch tiles ride a LEADING grid dimension (squeezed out of the kernel
+    # refs via block size None) so every in-kernel block keeps its full
+    # trailing dims — Mosaic requires blocked trailing dims to be
+    # (8, 128)-aligned, which a batch-sliced lane/sublane dim is not.
+    G = grid
+    x0_tiled = x0.reshape(G, Bt, D)  # tile g = rows [g*Bt, (g+1)*Bt)
+    forced_tiled = forced.reshape(T, G, Bt).transpose(1, 0, 2)  # [G, T, Bt]
 
     out_shape = [
-        jax.ShapeDtypeStruct((T, B), jnp.int32),  # seqs (transposed)
-        jax.ShapeDtypeStruct((1, B), jnp.float32),  # scores (row vector)
+        jax.ShapeDtypeStruct((G, T, Bt), jnp.int32),  # seqs (transposed)
+        jax.ShapeDtypeStruct((G, 1, Bt), jnp.float32),  # scores (row vector)
+    ]
+    out_specs = [
+        pl.BlockSpec((None, T, Bt), lambda i: (i, 0, 0)),
+        pl.BlockSpec((None, 1, Bt), lambda i: (i, 0, 0)),
     ]
     if mode == "forced":
-        out_shape.append(jax.ShapeDtypeStruct((T, B, V), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((G, T, Bt, V), jnp.float32))
+        out_specs.append(pl.BlockSpec((None, T, Bt, V), lambda i: (i, 0, 0, 0)))
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_inputs = 5 + len(ws)  # seed, temp, x0, pos, forced + weights (incl. emb)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array every step
+    n_weights = len(ws)
 
     outs = pl.pallas_call(
         kernel,
+        grid=(G,),
         out_shape=out_shape,
-        in_specs=[smem, smem] + [vmem] * (n_inputs - 2),
-        out_specs=[vmem] * len(out_shape),
+        in_specs=[
+            smem,  # seed
+            smem,  # temperature
+            pl.BlockSpec((None, Bt, D), lambda i: (i, 0, 0)),  # x0
+            vmem,  # positional table
+            pl.BlockSpec((None, T, Bt), lambda i: (i, 0, 0)),  # forced
+        ] + [vmem] * n_weights,
+        out_specs=out_specs,
         scratch_shapes=(
-            [pltpu.VMEM((T, B, D), cdtype) for _ in range(2 * NL)]
-            + [pltpu.VMEM((1, B), jnp.int32)]  # done mask
+            [pltpu.VMEM((T, Bt, D), cdtype) for _ in range(2 * NL)]
+            + [pltpu.VMEM((1, Bt), jnp.int32)]  # done mask
         ),
         interpret=interpret,
     )(
         jnp.reshape(jnp.asarray(seed, jnp.int32), (1, 1)),
         jnp.full((1, 1), temperature, jnp.float32),
-        x0,
+        x0_tiled,
         pos,
-        forced,
+        forced_tiled,
         *ws,
     )
-    seqs = outs[0].T
-    scores = outs[1][0, :]
+    # [G, T, Bt] -> [T, B] -> [B, T] (row b = g*Bt + j).
+    seqs = outs[0].transpose(1, 0, 2).reshape(T, B).T
+    scores = outs[1].reshape(B)
     if mode == "forced":
-        return seqs, scores, outs[2].transpose(1, 0, 2)
+        logits = outs[2].transpose(1, 0, 2, 3).reshape(T, B, V)
+        return seqs, scores, logits.transpose(1, 0, 2)
     return seqs, scores

@@ -191,9 +191,73 @@ class TestEligibility:
         cfg = fused_config(dtype="bfloat16")
         assert supports_fused_decode(cfg, batch=32, max_len=130)
 
-    def test_service_batch_too_large(self):
+    def test_service_batch_tiles(self):
+        """A 256-row service batch no longer falls back to the XLA loop:
+        it runs as a sequential grid over VMEM-sized batch tiles."""
+        from musicstyletransfer_tpu.ops.fused_decode import select_batch_tile
+
         cfg = fused_config(dtype="bfloat16")
-        assert not supports_fused_decode(cfg, batch=256, max_len=130)
+        assert supports_fused_decode(cfg, batch=256, max_len=130)
+        tile = select_batch_tile(cfg, 256, 130)
+        assert tile is not None and tile < 256 and 256 % tile == 0
+        assert tile % 8 == 0
+        # ...but the AUTO path caps sequential tiles at 2: at 8 tiles the
+        # XLA loop's big-batch matmuls win (measured on v5e).
+        assert not supports_fused_decode(cfg, batch=256, max_len=130,
+                                         max_grid=2)
+        assert supports_fused_decode(cfg, batch=32, max_len=130, max_grid=2)
+
+    def test_no_tile_for_absurd_shapes(self):
+        from musicstyletransfer_tpu.ops.fused_decode import select_batch_tile
+
+        # One tile row's cache alone blows the budget: nothing admissible.
+        cfg = fused_config(dtype="bfloat16")
+        assert select_batch_tile(cfg, 8, 200_000) is None
+
+
+class TestBatchTiling:
+    def test_tiled_forced_matches_whole_batch(self, setup):
+        """grid>1 (batch_tile < B) is exact: forced logits identical to the
+        single-tile kernel (rows are independent)."""
+        cfg, model, params, z, classes, x0 = setup
+        T = 10
+        rng = np.random.default_rng(7)
+        forced = jnp.asarray(
+            rng.integers(3, 293, (z.shape[0], T)).astype(np.int32)
+        )
+        _, _, whole = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=forced, interpret=True,
+        )
+        _, _, tiled = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=forced, interpret=True, batch_tile=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled), np.asarray(whole), atol=1e-5
+        )
+
+    def test_tiled_greedy_matches_xla(self, setup):
+        cfg, model, params, z, classes, x0 = setup
+        T = 12
+        f_seqs, f_scores = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="greedy",
+            interpret=True, batch_tile=2,
+        )
+        x_seqs, x_scores = decode_sampled(
+            model, params, z, classes, T, jax.random.key(0), greedy=True,
+            use_fused=False,
+        )
+        np.testing.assert_array_equal(np.asarray(f_seqs), np.asarray(x_seqs))
+        np.testing.assert_allclose(
+            np.asarray(f_scores), np.asarray(x_scores), rtol=1e-4, atol=1e-4
+        )
+
+    def test_bad_tile_rejected(self, setup):
+        cfg, model, params, z, classes, x0 = setup
+        with pytest.raises(ValueError, match="batch tile"):
+            fused_decode(cfg, params, x0, 8, jnp.asarray(0), mode="greedy",
+                         interpret=True, batch_tile=3)
 
     def test_lstm_not_supported(self):
         cfg = fused_config()
