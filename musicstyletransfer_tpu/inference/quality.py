@@ -59,14 +59,12 @@ def transfer_stats(
 
     from .decode import style_transfer_all_classes
 
-    # Corpus pitch-class profile per class (the targets to match).
+    # ONE pass over the dataset (works for single-pass iterables): the
+    # corpus pitch-class profile accumulates over every batch; transfers
+    # run on the first ``max_batches``. Wrap-padded duplicate rows
+    # (Batch.n_valid) are masked out of both, so the statistics are
+    # invariant to --batch-size.
     class_rows: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
-    for batch in dataset:
-        b = batch.to_batch() if hasattr(batch, "to_batch") else batch
-        for row, cls in zip(np.asarray(b.tokens), np.asarray(b.classes)):
-            class_rows[int(cls)].append(row)
-    corpus_hist = [pitch_class_histogram(rows) for rows in class_rows]
-
     n_seqs = 0
     n_terminated = 0
     lengths: List[int] = []
@@ -74,9 +72,14 @@ def transfer_stats(
     source_hists: List[np.ndarray] = []
     rng = jax.random.key(seed)
     for bi, batch in enumerate(dataset):
-        if bi >= max_batches:
-            break
         b = batch.to_batch() if hasattr(batch, "to_batch") else batch
+        nv = getattr(b, "num_valid", None)
+        nv = int(nv) if nv is not None else int(b.tokens.shape[0])
+        tokens_np = np.asarray(b.tokens)
+        for row, cls in zip(tokens_np[:nv], np.asarray(b.classes)[:nv]):
+            class_rows[int(cls)].append(row)
+        if bi >= max_batches:
+            continue  # keep accumulating the corpus profile
         rng, key = jax.random.split(rng)
         seqs, _ = style_transfer_all_classes(
             model, params,
@@ -86,15 +89,19 @@ def transfer_stats(
         )
         seqs = np.asarray(seqs)  # [C, B, T]
         for c in range(num_classes):
-            for row in seqs[c]:
+            for row in seqs[c, :nv]:
                 n_seqs += 1
                 if np.any(row == EOS_ID):
                     n_terminated += 1
                 lengths.append(int(np.sum(row != PAD_ID)) - 1)  # minus SOS
                 transfer_rows[c].append(row)
-        source_hists.append(pitch_class_histogram(np.asarray(b.tokens)))
+        source_hists.append(pitch_class_histogram(tokens_np[:nv]))
+    corpus_hist = [pitch_class_histogram(rows) for rows in class_rows]
 
-    source_hist = np.mean(source_hists, axis=0)
+    source_hist = (
+        np.mean(source_hists, axis=0) if source_hists
+        else np.full(12, 1.0 / 12)
+    )
     target_js, source_js = [], []
     for c in range(num_classes):
         h = pitch_class_histogram(transfer_rows[c])

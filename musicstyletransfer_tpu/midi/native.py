@@ -33,6 +33,7 @@ _ERRORS = {
     -4: "buffer capacity exceeded",
     -5: "bad event byte",
 }
+_ERR_CAPACITY = -4  # MST_ERR_CAPACITY: caller retries with bigger buffers
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_load_failed = False
@@ -176,27 +177,37 @@ class NativeMIDIReader:
             n_threads = min(32, os.cpu_count() or 1)
         sizes = [os.path.getsize(p) for p in paths]
         tokens_cap = sum(s * 2 + 4096 for s in sizes)
-        track_cap = n * 64 + 4096  # ~64 tracks/file headroom
+        track_cap = n * 64 + 4096  # ~64 tracks/file headroom to start
         c_paths = (ctypes.c_char_p * n)(
             *[p.encode() for p in paths]
         )
-        tokens = np.empty(tokens_cap, dtype=np.int32)
-        track_starts = np.empty(track_cap, dtype=np.int32)
         file_track_index = np.empty(n + 1, dtype=np.int32)
         file_rc = np.empty(n, dtype=np.int32)
         resolutions = np.empty(n, dtype=np.int32)
         bpms = np.empty(n, dtype=np.float64)
-        total = self._lib.mst_tokenize_files(
-            c_paths, n, n_threads,
-            tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            tokens_cap,
-            track_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            track_cap,
-            file_track_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            file_rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            resolutions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            bpms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        )
+        # The C contract (native/midi_tokenizer.cpp) is retry-on-capacity:
+        # the caps above are heuristics — track-heavy corpora exceed the
+        # ~64 tracks/file guess, and huge tick gaps can emit more tokens
+        # than 2x the byte size — so grow and retry instead of failing a
+        # scan the per-file path would handle fine.
+        for _ in range(6):
+            tokens = np.empty(tokens_cap, dtype=np.int32)
+            track_starts = np.empty(track_cap, dtype=np.int32)
+            total = self._lib.mst_tokenize_files(
+                c_paths, n, n_threads,
+                tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                tokens_cap,
+                track_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                track_cap,
+                file_track_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                file_rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                resolutions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                bpms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            if total != _ERR_CAPACITY:
+                break
+            tokens_cap *= 4
+            track_cap = min(track_cap * 4, n * self.MAX_TRACKS + 4096)
         if total < 0:
             raise ValueError(f"native corpus scan: {_ERRORS.get(total, total)}")
         out: List[List[Melody]] = []

@@ -65,7 +65,7 @@ def _tile_fits(config, batch: int, max_len: int) -> bool:
     d, L, V = tc.model_size, tc.num_layers, dc.output_dim
     itemsize = 2 if config.dtype == "bfloat16" else 4
     cache = 2 * L * max_len * batch * d * itemsize
-    ffn = d * d * tc.ffn_multiplier * itemsize
+    ffn = d * d * tc.ffn_multiplier  # elements; itemsize applied below
     weights = L * (4 * d * d + 2 * ffn) * itemsize + 2 * V * d * 4
     act = 6 * max_len * batch * d * itemsize + 4 * batch * V * 4
     return cache + weights + act < _VMEM_BUDGET
@@ -73,10 +73,15 @@ def _tile_fits(config, batch: int, max_len: int) -> bool:
 
 def select_batch_tile(config, batch: int, max_len: int) -> Optional[int]:
     """Pick the batch-tile size: the whole batch when it fits (grid of 1 —
-    the fast path), else the largest sublane-aligned (multiple-of-8) divisor
-    of ``batch`` whose per-tile cache+weights+activations fit VMEM. Rows are
-    independent in decode, so tiles are exact, not an approximation.
-    Returns None when no admissible tile exists."""
+    the fast path), else the largest multiple-of-8 divisor of ``batch``
+    whose per-tile cache+weights+activations fit VMEM. Rows are independent
+    in decode, so tiles are exact, not an approximation.
+
+    Alignment note: unaligned batch sizes are CORRECT either way (Mosaic
+    pads the sublane dim — the B=1 p50-latency path runs this kernel on
+    hardware); the multiple-of-8 preference in the tile search only avoids
+    paying that padding waste times the grid count. Returns None when no
+    admissible tile exists."""
     if _tile_fits(config, batch, max_len):
         return batch
     for tile in range(batch // 2, 7, -1):
@@ -306,8 +311,7 @@ def _make_kernel(config, B, T, mode, cdtype):
                 nxt = _argmax_lanes(logits, v_iota)
             else:
                 bits = pltpu.prng_random_bits((B, V))
-                u = (bits >> 8).astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
-                gumbel = -jnp.log(-jnp.log(u))
+                gumbel = -jnp.log(-jnp.log(_uniform_from_bits(bits)))
                 nxt = _argmax_lanes(logits / temp_ref[0, 0] + gumbel, v_iota)
 
             m = jnp.max(logits, axis=-1, keepdims=True)
@@ -335,6 +339,21 @@ def _make_kernel(config, B, T, mode, cdtype):
         )
 
     return kernel
+
+
+def _uniform_from_bits(bits):
+    """int32 random bits -> uniforms in (0, 1).
+
+    ``pltpu.prng_random_bits`` is TYPED int32, so a plain ``bits >> 8``
+    would be an arithmetic shift keeping the sign: ~half the "uniforms"
+    would come out negative and ``-log(-log(u))`` NaN, poisoning the
+    whole Gumbel-max draw. Mask to the low 23 bits instead (sign-free),
+    scale by 2^-23 and offset by 2^-24: every value is exactly
+    representable in f32 and u lies strictly in (0, 1) — a 24-bit mask
+    would round its top value to exactly 1.0 (ulp below 1 is 2^-24),
+    making the Gumbel +inf.
+    """
+    return (bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23) + 2.0 ** -24
 
 
 def _argmax_lanes(x, lane_iota):

@@ -215,6 +215,22 @@ class TestEligibility:
         assert select_batch_tile(cfg, 8, 200_000) is None
 
 
+class TestSampleBits:
+    def test_uniform_from_bits_handles_signed_int32(self):
+        """pltpu.prng_random_bits is typed int32: the uniform transform
+        must not go negative for negative bit patterns (negative u ->
+        NaN Gumbel -> garbage out-of-vocab tokens on hardware)."""
+        from musicstyletransfer_tpu.ops.fused_decode import _uniform_from_bits
+
+        bits = jnp.asarray(
+            [-(2 ** 31), -1, 0, 1, 2 ** 31 - 1, -123456789], jnp.int32
+        )
+        u = np.asarray(_uniform_from_bits(bits))
+        assert np.all(u > 0.0) and np.all(u < 1.0)
+        gumbel = -np.log(-np.log(u))
+        assert np.all(np.isfinite(gumbel))
+
+
 class TestBatchTiling:
     def test_tiled_forced_matches_whole_batch(self, setup):
         """grid>1 (batch_tile < B) is exact: forced logits identical to the

@@ -122,3 +122,42 @@ class TestNativeTokenizer:
         np.testing.assert_array_equal(
             py.read_file(p)[0].tokens, nat.read_file(p)[0].tokens
         )
+
+
+class TestCapacityRetry:
+    def test_track_heavy_corpus_retries(self, tmp_path):
+        """scan_files' track capacity starts at ~64 tracks/file; a corpus
+        of track-heavy files must grow-and-retry (the C contract), not
+        fail with 'buffer capacity exceeded'."""
+        from musicstyletransfer_tpu.midi.codec import Melody, MelodyWriter
+        from musicstyletransfer_tpu.midi.native import (
+            NativeMIDIReader, available,
+        )
+        from musicstyletransfer_tpu.midi.vocab import note_on_id, timeshift_id
+
+        if not available():
+            pytest.skip("native library unavailable")
+        # One real melody track (passes the >=10-token filter) + thousands
+        # of empty tracks per file: 2 files x 3000 tracks = 6000 tracks,
+        # far over the initial cap of 2*64 + 4096 = 4224.
+        tokens = []
+        for p in range(8):
+            tokens += [note_on_id(60 + p), timeshift_id(120), note_on_id(60 + p)]
+        melody = Melody(tokens=np.asarray(tokens, np.int32))
+        mf = MelodyWriter().to_midifile(melody)
+        mf.tracks.extend([smf.EndOfTrack(tick=0)] for _ in range(2999))
+        mf.format = 1
+        data = smf.dump_midifile(mf)
+        paths = []
+        for i in range(2):
+            p = tmp_path / f"many-tracks-{i}.mid"
+            p.write_bytes(data)
+            paths.append(str(p))
+
+        reader = NativeMIDIReader()
+        scanned = reader.scan_files(paths, n_threads=2)
+        assert len(scanned) == 2
+        for path, melodies in zip(paths, scanned):
+            ref = reader.read_file(path)
+            assert len(melodies) == len(ref) == 1
+            np.testing.assert_array_equal(melodies[0].tokens, ref[0].tokens)

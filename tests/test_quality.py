@@ -32,6 +32,58 @@ class TestHelpers:
 
 
 class TestTransferStats:
+    def _dataset(self, batch_size):
+        from musicstyletransfer_tpu.data import MelodyDataset
+        from musicstyletransfer_tpu.midi.codec import Melody
+
+        rng = np.random.default_rng(0)
+        mel = {
+            "a": [Melody(tokens=np.asarray(
+                [note_on_id(60 + int(p)) for p in rng.integers(0, 4, 40)],
+                np.int32))],
+            "b": [Melody(tokens=np.asarray(
+                [note_on_id(66 + int(p)) for p in rng.integers(0, 4, 40)],
+                np.int32))],
+        }
+        return MelodyDataset(batch_size, 8, mel, shuffle=False)
+
+    def _model(self):
+        import jax
+
+        from musicstyletransfer_tpu.models import init_params, make_model
+        from tests.test_model import tiny_config
+
+        cfg = tiny_config(vocab=293, classes=2, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=8)
+        return model, params
+
+    def test_wrap_padding_not_double_counted(self):
+        """10 real rows at any batch size: the wrap-padded duplicates of
+        the final partial batch must be masked out (Batch.n_valid), so the
+        sequence count is invariant to --batch-size."""
+        from musicstyletransfer_tpu.inference.quality import transfer_stats
+
+        model, params = self._model()
+        for bs in (4, 8):
+            stats = transfer_stats(model, params, self._dataset(bs),
+                                   num_classes=2, max_batches=10)
+            assert stats["transfer_sequences"] == 20.0  # 10 rows x 2 classes
+
+    def test_single_pass_iterable(self):
+        """transfer_stats makes ONE pass: a generator (non-reiterable)
+        dataset must produce the same counts as the re-iterable one."""
+        from musicstyletransfer_tpu.inference.quality import transfer_stats
+
+        model, params = self._model()
+        batches = list(self._dataset(4))
+        stats = transfer_stats(model, params, (b for b in batches),
+                               num_classes=2, max_batches=10)
+        assert stats["transfer_sequences"] == 20.0
+        assert np.isfinite(stats["pitch_js_to_source_mix"])
+
+
     def test_stats_on_tiny_model(self):
         import jax
 
