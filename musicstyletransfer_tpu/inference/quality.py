@@ -11,6 +11,11 @@ Host-side, distribution-level checks of generated token streams:
   corpus histogram — and, for contrast, the source classes' histogram.
   A working transfer sits closer to the target distribution than to the
   source one.
+- content preservation: mean per-row JS between each transfer and ITS OWN
+  source sequence. Style transfer should keep the source's content, so
+  this must stay small; a collapsed latent (decoder ignoring z) shows up
+  as an excellent target fit with terrible content preservation — target
+  fit alone is not a quality signal.
 """
 
 from __future__ import annotations
@@ -70,6 +75,7 @@ def transfer_stats(
     lengths: List[int] = []
     transfer_rows: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
     source_hists: List[np.ndarray] = []
+    own_source_js: List[float] = []
     rng = jax.random.key(seed)
     for bi, batch in enumerate(dataset):
         b = batch.to_batch() if hasattr(batch, "to_batch") else batch
@@ -89,12 +95,16 @@ def transfer_stats(
         )
         seqs = np.asarray(seqs)  # [C, B, T]
         for c in range(num_classes):
-            for row in seqs[c, :nv]:
+            for i, row in enumerate(seqs[c, :nv]):
                 n_seqs += 1
                 if np.any(row == EOS_ID):
                     n_terminated += 1
                 lengths.append(int(np.sum(row != PAD_ID)) - 1)  # minus SOS
                 transfer_rows[c].append(row)
+                own_source_js.append(js_divergence(
+                    pitch_class_histogram([row]),
+                    pitch_class_histogram([tokens_np[i]]),
+                ))
         source_hists.append(pitch_class_histogram(tokens_np[:nv]))
     corpus_hist = [pitch_class_histogram(rows) for rows in class_rows]
 
@@ -113,4 +123,7 @@ def transfer_stats(
         "mean_generated_len": float(np.mean(lengths)) if lengths else 0.0,
         "pitch_js_to_target_class": float(np.mean(target_js)),
         "pitch_js_to_source_mix": float(np.mean(source_js)),
+        "pitch_js_to_own_source": (
+            float(np.mean(own_source_js)) if own_source_js else 0.0
+        ),
     }

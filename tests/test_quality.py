@@ -82,6 +82,7 @@ class TestTransferStats:
                                num_classes=2, max_batches=10)
         assert stats["transfer_sequences"] == 20.0
         assert np.isfinite(stats["pitch_js_to_source_mix"])
+        assert 0.0 <= stats["pitch_js_to_own_source"] <= np.log(2) + 1e-9
 
 
     def test_stats_on_tiny_model(self):
