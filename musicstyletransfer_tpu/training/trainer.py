@@ -146,6 +146,7 @@ class Trainer:
         self._metric_acc = None
         self.progress = ckpt.TrainingProgress()
         self._batches_at_start = 0
+        self._last_log = None
         self._last_ckpt_batches = 0
         self._stop_requested = False
         self._writer = None
@@ -193,6 +194,7 @@ class Trainer:
         # updates/sec must count only THIS run's batches (after a resume,
         # progress.n_batches includes prior runs' work).
         self._batches_at_start = self.progress.n_batches
+        self._last_log = None
 
         cfg = self.config
         if cfg.prefetch > 0:
@@ -462,9 +464,22 @@ class Trainer:
     def _periodic_log(self, epoch: int, start_time: float) -> None:
         vals = self._drain_metrics()
         self._write_scalars(vals)
+        now = time.time()
         ups = (self.progress.n_batches - self._batches_at_start) / max(
-            time.time() - start_time, 1e-9
+            now - start_time, 1e-9
         )
+        # Cumulative updates/sec matches the reference's print
+        # (trainer.py:250-254) but is dragged far below the real rate by
+        # the one-time XLA compile on TPU, so also report the rate over
+        # the window since the previous log line.
+        window = ""
+        if self._last_log is not None:
+            prev_batches, prev_time = self._last_log
+            wups = (self.progress.n_batches - prev_batches) / max(
+                now - prev_time, 1e-9
+            )
+            window = f" (window: {wups:.1f})"
+        self._last_log = (self.progress.n_batches, now)
         # Per-param grad norms go to TensorBoard only (reference prints just
         # the main metric line, trainer.py:250-254).
         line = " ".join(
@@ -473,5 +488,5 @@ class Trainer:
         )
         print(
             f"Epoch [{epoch}] Batch [{self.progress.n_batches}] "
-            f"updates/sec: {ups:.2f} {line}"
+            f"updates/sec: {ups:.2f}{window} {line}"
         )
