@@ -14,10 +14,15 @@ a ``jax.sharding.Mesh``:
   attention/FFN block over ICI.
 
 The fused single-chip Pallas decode kernel (ops/fused_decode.py) is not
-GSPMD-partitionable, so the sharded path always runs the XLA
-``lax.while_loop`` decode (use_fused=False). Batches are padded to a
-multiple of the data-axis size with copies of row 0 (static shapes; padding
-rows are dropped from the result).
+GSPMD-partitionable, but decode rows are independent, so on a PURE
+data-parallel mesh (tp=1) the kernel runs per shard under ``shard_map``:
+encode + conditioning compile under GSPMD, then every chip runs the whole
+sampling loop on its batch slice in one Mosaic program (``use_fused`` —
+auto on TPU when the per-shard batch fits the kernel's VMEM budget).
+Under tp>1 or when the kernel is not eligible, the sharded path runs the
+XLA ``lax.while_loop`` decode. Batches are padded to a multiple of the
+data-axis size with copies of row 0 (static shapes; padding rows are
+dropped from the result).
 """
 
 from __future__ import annotations
@@ -26,9 +31,11 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..parallel.mesh import (
     AXIS_DATA,
+    AXIS_MODEL,
     batch_sharding,
     shard_params,
     use_mesh,
@@ -54,6 +61,75 @@ def prepare_params(params, mesh) -> any:
     return shard_params(params, mesh)
 
 
+def _fused_shard_eligible(model, mesh, per_shard_batch: int, max_len: int,
+                          top_k: int, top_p: float) -> bool:
+    """Auto-select the per-shard fused kernel: pure-DP mesh, TPU backend,
+    kernel supports the per-shard batch (same gates as the single-device
+    auto path in decode._fused_eligible)."""
+    from ..ops.flash_attention import should_interpret
+    from ..ops.fused_decode import supports_fused_decode
+
+    if mesh.shape.get(AXIS_MODEL, 1) != 1:
+        return False  # kernel holds full-width weights; DP only
+    if top_k > 0 or top_p > 0.0:
+        return False
+    if should_interpret():
+        return False
+    return supports_fused_decode(
+        model.config, per_shard_batch, max_len, max_grid=2
+    )
+
+
+def _run_fused_sharded(
+    model, params, tokens, seq_lens, classes, max_len, rng, mesh,
+    temperature, greedy, interpret,
+):
+    """Encode under GSPMD, then shard_map the fused decode kernel over the
+    data axis: one jitted program, every chip runs the whole sampling loop
+    on its batch slice in VMEM."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    from ..models.vae import StyleVAE
+    from ..ops.fused_decode import fused_decode
+
+    config = model.config
+    mode = "greedy" if greedy else "sample"
+
+    def per_shard(x0_s, params_s, seed_s):
+        idx = jax.lax.axis_index(AXIS_DATA)
+        return fused_decode(
+            config, params_s, x0_s, max_len,
+            seed_s[0] + idx.astype(jnp.int32), temperature,
+            mode=mode, interpret=interpret,
+        )
+
+    decode_sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS_DATA), P(), P()),
+        out_specs=(P(AXIS_DATA), P(AXIS_DATA)),
+        check_vma=False,  # Pallas calls don't carry varying-axis info
+    )
+
+    @jax.jit
+    def run(params, tokens, seq_lens, classes, seed):
+        mu, _ = model.apply(
+            {"params": params}, tokens, seq_lens, classes,
+            method=StyleVAE.encode,
+        )
+        x0 = model.apply(
+            {"params": params}, mu, classes, method=StyleVAE.decode_init
+        )
+        return decode_sharded(x0, params, seed)
+
+    seed = jax.random.randint(
+        rng, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+    )
+    return run(params, tokens, seq_lens, classes, seed)
+
+
 def sharded_sample_sequences(
     model,
     params,
@@ -68,6 +144,8 @@ def sharded_sample_sequences(
     top_p: float = 0.0,
     greedy: bool = False,
     params_on_mesh: bool = False,
+    use_fused: Optional[bool] = None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode + ancestral decode with the batch sharded over the data axis.
 
@@ -75,6 +153,12 @@ def sharded_sample_sequences(
     data-parallel result is identical to the single-device one; under tp>1
     the attention/FFN reductions are split across the model axis (same math,
     partitioned reduction order).
+
+    ``use_fused``: None = auto — on a pure-DP TPU mesh whose per-shard
+    batch fits the fused kernel's VMEM budget, the decode loop runs as the
+    single-Mosaic-program kernel per shard via shard_map (the multi-chip
+    version of the single-device fast path); otherwise the GSPMD-partitioned
+    XLA while_loop. ``interpret`` forces Pallas interpreter mode (CPU tests).
     """
     B = tokens.shape[0]
     dp = mesh.shape[AXIS_DATA]
@@ -90,6 +174,16 @@ def sharded_sample_sequences(
         jax.device_put(seq_lens, bs),
         jax.device_put(classes, bs),
     )
+    if use_fused is None:
+        use_fused = _fused_shard_eligible(
+            model, mesh, padded // dp, max_len, top_k, top_p
+        )
+    if use_fused:
+        seqs, scores = _run_fused_sharded(
+            model, params, tokens, seq_lens, classes, max_len, rng, mesh,
+            temperature, greedy, interpret,
+        )
+        return seqs[:B], scores[:B]
     with use_mesh(mesh):
         seqs, scores = sample_sequences(
             model, params, tokens, seq_lens, classes, max_len, rng,

@@ -260,6 +260,41 @@ class TestShardedInferenceAPI:
                 if tok == EOS_ID:
                     seen_end = True
 
+    def test_fused_per_shard_greedy_matches_xla(self, cpu_devices):
+        """use_fused=True runs the Pallas kernel per data shard via
+        shard_map (interpret mode on CPU); greedy is deterministic, so it
+        must match the unsharded XLA while_loop decode exactly. Uses the
+        fused-eligible config (d=128 lanes)."""
+        from musicstyletransfer_tpu.inference.decode import sample_sequences
+        from musicstyletransfer_tpu.inference.sharded import (
+            sharded_sample_sequences,
+        )
+        from tests.test_fused_decode import fused_config
+
+        cfg = fused_config(dtype="float32")
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=6)
+        B, L = 8, 6
+        rng = np.random.default_rng(5)
+        tokens = np.concatenate(
+            [np.full((B, 1), 1, np.int32),
+             rng.integers(3, 293, (B, L)).astype(np.int32)], axis=1,
+        )
+        seq_lens = np.full((B,), L + 1, np.int32)
+        classes = rng.integers(0, 2, (B,)).astype(np.int32)
+        ref, _ = sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), greedy=True,
+            use_fused=False,
+        )
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        out, _ = sharded_sample_sequences(
+            model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(classes), 10, jax.random.key(1), mesh, greedy=True,
+            use_fused=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
     def test_all_classes_matches_unsharded(self, cpu_devices):
         """The all-classes wrapper tiles to C*B rows (a data-axis multiple
         here) and matches the single-device fused-call semantics exactly."""
