@@ -27,6 +27,7 @@ dropped from the result).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -80,41 +81,40 @@ def _fused_shard_eligible(model, mesh, per_shard_batch: int, max_len: int,
     )
 
 
-def _run_fused_sharded(
-    model, params, tokens, seq_lens, classes, max_len, rng, mesh,
-    temperature, greedy, interpret,
-):
-    """Encode under GSPMD, then shard_map the fused decode kernel over the
-    data axis: one jitted program, every chip runs the whole sampling loop
-    on its batch slice in VMEM."""
+@functools.lru_cache(maxsize=32)
+def _build_fused_sharded(model, mesh, max_len: int, mode: str,
+                         interpret: bool):
+    """Build (once per static signature) the jitted encode+shard_map'd
+    fused-decode program. Cached so the serving hot path does not retrace
+    and re-lower the Mosaic kernel per request — model and mesh are both
+    hashable, same keying discipline as decode.py's jitted entry points."""
     from jax.sharding import PartitionSpec as P
-
-    shard_map = jax.shard_map
 
     from ..models.vae import StyleVAE
     from ..ops.fused_decode import fused_decode
 
     config = model.config
-    mode = "greedy" if greedy else "sample"
 
-    def per_shard(x0_s, params_s, seed_s):
-        idx = jax.lax.axis_index(AXIS_DATA)
+    def per_shard(x0_s, params_s, seed_s, temperature):
+        # seed_s is this shard's OWN host-drawn seed (in_spec P(data)):
+        # structurally distinct streams per shard, so the kernel's
+        # seed+program_id tile decorrelation cannot collide across shards
+        # the way a seed+axis_index offset would at grid 2.
         return fused_decode(
-            config, params_s, x0_s, max_len,
-            seed_s[0] + idx.astype(jnp.int32), temperature,
+            config, params_s, x0_s, max_len, seed_s[0], temperature,
             mode=mode, interpret=interpret,
         )
 
-    decode_sharded = shard_map(
+    decode_sharded = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(AXIS_DATA), P(), P()),
+        in_specs=(P(AXIS_DATA), P(), P(AXIS_DATA), P()),
         out_specs=(P(AXIS_DATA), P(AXIS_DATA)),
         check_vma=False,  # Pallas calls don't carry varying-axis info
     )
 
     @jax.jit
-    def run(params, tokens, seq_lens, classes, seed):
+    def run(params, tokens, seq_lens, classes, seeds, temperature):
         mu, _ = model.apply(
             {"params": params}, tokens, seq_lens, classes,
             method=StyleVAE.encode,
@@ -122,12 +122,27 @@ def _run_fused_sharded(
         x0 = model.apply(
             {"params": params}, mu, classes, method=StyleVAE.decode_init
         )
-        return decode_sharded(x0, params, seed)
+        return decode_sharded(x0, params, seeds, temperature)
 
-    seed = jax.random.randint(
-        rng, (1,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+    return run
+
+
+def _run_fused_sharded(
+    model, params, tokens, seq_lens, classes, max_len, rng, mesh,
+    temperature, greedy, interpret,
+):
+    """Encode under GSPMD, then shard_map the fused decode kernel over the
+    data axis: one jitted program, every chip runs the whole sampling loop
+    on its batch slice in VMEM."""
+    run = _build_fused_sharded(
+        model, mesh, max_len, "greedy" if greedy else "sample", interpret
     )
-    return run(params, tokens, seq_lens, classes, seed)
+    dp = mesh.shape[AXIS_DATA]
+    seeds = jax.random.randint(
+        rng, (dp,), 0, np.iinfo(np.int32).max, dtype=jnp.int32
+    )
+    return run(params, tokens, seq_lens, classes, seeds,
+               jnp.asarray(temperature, jnp.float32))
 
 
 def sharded_sample_sequences(
@@ -178,6 +193,18 @@ def sharded_sample_sequences(
         use_fused = _fused_shard_eligible(
             model, mesh, padded // dp, max_len, top_k, top_p
         )
+    elif use_fused:
+        # Forced kernel path: reject arguments it cannot honor rather than
+        # silently diverging from the XLA path's semantics.
+        if top_k > 0 or top_p > 0.0:
+            raise ValueError(
+                "use_fused=True does not support top_k/top_p filtering"
+            )
+        if mesh.shape.get(AXIS_MODEL, 1) != 1:
+            raise ValueError(
+                "use_fused=True requires a pure data-parallel mesh (tp=1); "
+                "the kernel holds full-width weights per chip"
+            )
     if use_fused:
         seqs, scores = _run_fused_sharded(
             model, params, tokens, seq_lens, classes, max_len, rng, mesh,

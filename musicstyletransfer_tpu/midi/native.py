@@ -189,8 +189,14 @@ class NativeMIDIReader:
         # the caps above are heuristics — track-heavy corpora exceed the
         # ~64 tracks/file guess, and huge tick gaps can emit more tokens
         # than 2x the byte size — so grow and retry instead of failing a
-        # scan the per-file path would handle fine.
-        for _ in range(6):
+        # scan the per-file path would handle fine. The aggregate error
+        # code doesn't say WHICH buffer overflowed, so grow the (tiny)
+        # track index to its hard bound first and only then start doubling
+        # the token arena; stop once nothing can grow further (e.g. the
+        # scanner's 2^31-token arena bound).
+        track_cap_max = n * self.MAX_TRACKS + 4096
+        tokens_cap_max = (1 << 31) - 1
+        for _ in range(8):
             tokens = np.empty(tokens_cap, dtype=np.int32)
             track_starts = np.empty(track_cap, dtype=np.int32)
             total = self._lib.mst_tokenize_files(
@@ -206,8 +212,12 @@ class NativeMIDIReader:
             )
             if total != _ERR_CAPACITY:
                 break
-            tokens_cap *= 4
-            track_cap = min(track_cap * 4, n * self.MAX_TRACKS + 4096)
+            if track_cap < track_cap_max:
+                track_cap = min(track_cap * 8, track_cap_max)
+            elif tokens_cap < tokens_cap_max:
+                tokens_cap = min(tokens_cap * 2, tokens_cap_max)
+            else:
+                break  # nothing left to grow; surface the error
         if total < 0:
             raise ValueError(f"native corpus scan: {_ERRORS.get(total, total)}")
         out: List[List[Melody]] = []

@@ -295,6 +295,26 @@ class TestShardedInferenceAPI:
         )
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
+    def test_forced_fused_rejects_unsupported_args(self, cpu_devices):
+        """use_fused=True must error on arguments the kernel can't honor
+        instead of silently diverging (top_k/top_p; tp>1 meshes)."""
+        from musicstyletransfer_tpu.inference.sharded import (
+            sharded_sample_sequences,
+        )
+
+        model, params, tokens, seq_lens, classes = self._setup()
+        args = (model, params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+                jnp.asarray(classes), 10, jax.random.key(1))
+        with pytest.raises(ValueError, match="top_k/top_p"):
+            sharded_sample_sequences(
+                *args, make_mesh(cpu_devices[:8], tp=1),
+                top_k=5, use_fused=True,
+            )
+        with pytest.raises(ValueError, match="data-parallel"):
+            sharded_sample_sequences(
+                *args, make_mesh(cpu_devices[:8], tp=2), use_fused=True,
+            )
+
     def test_all_classes_matches_unsharded(self, cpu_devices):
         """The all-classes wrapper tiles to C*B rows (a data-axis multiple
         here) and matches the single-device fused-call semantics exactly."""
