@@ -93,6 +93,43 @@ class TestService:
         for midi in result.midi_by_class.values():
             assert smf.parse_midifile(midi).resolution > 0
 
+    def test_concurrent_producers_stress(self, model_folder):
+        """Many threads enqueueing at once: every request must be served
+        exactly once and callbacks must fire from the service thread
+        without loss under contention."""
+        import threading
+
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8, max_wait_ms=5)
+        svc.start()
+        got = []
+        lock = threading.Lock()
+
+        def record(result):
+            with lock:
+                got.append(result)
+
+        def producer(base):
+            for i in range(4):
+                svc.enqueue(_midi_bytes((60 + (base + i) % 24,)), record)
+
+        try:
+            threads = [threading.Thread(target=producer, args=(t * 4,))
+                       for t in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            deadline = __import__("time").time() + 120
+            while len(got) < 16 and __import__("time").time() < deadline:
+                __import__("time").sleep(0.05)
+        finally:
+            svc.stop()
+        assert len(got) == 16
+        assert all(set(r.midi_by_class) == {0, 1, 2} for r in got)
+
     def test_rejects_empty_midi(self, model_folder):
         from musicstyletransfer_tpu.inference.service import StyleTransferService
 
