@@ -1,0 +1,172 @@
+"""Hardware parity checks: Mosaic-compiled kernels vs their XLA references.
+
+The pytest suite proves the Pallas kernels correct in INTERPRETER mode on
+the CPU mesh; this script closes the remaining gap — the Mosaic compiler
+itself — by re-running the same cross-checks compiled on a real TPU:
+
+- fused decode, teacher-forced: per-step logits vs the flax decode_step
+  loop (bf16 tolerance);
+- fused decode, greedy: token-exact vs the XLA while_loop path;
+- fused decode, sampled: tokens in-vocab, per-sequence EOS semantics,
+  finite scores (draws use the TPU hardware PRNG, so only distributional
+  properties are checkable);
+- flash attention fwd+bwd vs reference_attention (bf16 tolerance).
+
+Run: python scripts/tpu-parity.py   (prints one OK line per check; exits
+nonzero on the first failure). Takes a few minutes of compiles on a cold
+cache.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from musicstyletransfer_tpu.utils import configure_jax_cache  # noqa: E402
+
+
+def pick_tpu():
+    for kind in ("tpu", "axon"):
+        try:
+            devs = jax.devices(kind)
+            if devs:
+                return devs[0]
+        except RuntimeError:
+            continue
+    raise SystemExit("no TPU device available")
+
+
+def main() -> None:
+    configure_jax_cache()
+    dev = pick_tpu()
+    print(f"device: {dev}")
+
+    from musicstyletransfer_tpu.inference.decode import decode_sampled
+    from musicstyletransfer_tpu.midi.vocab import EOS_ID, PAD_ID, SOS_ID
+    from musicstyletransfer_tpu.models import init_params, make_model
+    from musicstyletransfer_tpu.models.vae import StyleVAE
+    from musicstyletransfer_tpu.ops.fused_decode import fused_decode
+
+    sys.path.insert(0, "tests")
+    from test_fused_decode import fused_config, xla_forced_logits
+
+    with jax.default_device(dev):
+        cfg = fused_config(dtype="float32")
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=8)
+        B, T = 8, 16
+        rng = np.random.default_rng(0)
+        z = jnp.asarray(rng.normal(size=(B, 32)).astype(np.float32))
+        classes = jnp.asarray(rng.integers(0, 2, (B,)).astype(np.int32))
+        x0 = model.apply({"params": params}, z, classes,
+                         method=StyleVAE.decode_init)
+
+        # Tolerances: on the TPU MXU, "f32" matmuls run as bf16-multiply
+        # passes with f32 accumulation in BOTH paths, but the kernel and
+        # XLA tile/order the reductions differently, so logits agree only
+        # to bf16 scale (~5e-2 absolute at these magnitudes). Bit-level
+        # semantics are pinned by the interpreter-mode tests; this script
+        # checks the Mosaic compile for real divergence (wrong math shows
+        # up as O(1) error, not O(bf16 ulp)).
+        # 1. teacher-forced logits
+        forced = jnp.asarray(rng.integers(3, 293, (B, T)).astype(np.int32))
+        _, _, logits = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=forced,
+        )
+        ref = xla_forced_logits(model, params, z, classes, forced, T)
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 1:T, :]), np.asarray(ref), atol=0.15
+        )
+        print("OK forced-logit parity (Mosaic vs flax loop, bf16-pass atol)")
+
+        # 2. greedy: bf16-scale logit noise can flip near-tie argmaxes, so
+        # require a high agreement RATE (plus well-formed output) rather
+        # than exactness; a miscompiled kernel decoheres immediately.
+        f_seqs, f_scores = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="greedy"
+        )
+        x_seqs, _ = decode_sampled(
+            model, params, z, classes, T, jax.random.key(0), greedy=True,
+            use_fused=False,
+        )
+        f_np, x_np = np.asarray(f_seqs), np.asarray(x_seqs)
+        agree = float(np.mean(f_np == x_np))
+        assert agree >= 0.8, f"greedy agreement {agree:.2%}"
+        assert np.isfinite(np.asarray(f_scores)).all()
+        print(f"OK greedy parity (Mosaic vs XLA while_loop, "
+              f"{agree:.1%} token agreement)")
+
+        # 3. sampled well-formedness (hardware PRNG)
+        s_seqs, s_scores = fused_decode(
+            cfg, params, x0, 64, jnp.asarray(123), mode="sample"
+        )
+        s = np.asarray(s_seqs)
+        assert s.min() >= 0 and s.max() < 293, (s.min(), s.max())
+        assert (s[:, 0] == SOS_ID).all()
+        for row in s:
+            hit = np.nonzero(row == EOS_ID)[0]
+            if hit.size:
+                assert (row[hit[0] + 1:] == PAD_ID).all()
+        assert np.isfinite(np.asarray(s_scores)).all()
+        print("OK sampled decode well-formed (in-vocab, EOS->PAD, finite)")
+
+        # 4. flash attention fwd+bwd vs XLA reference
+        from musicstyletransfer_tpu.ops.flash_attention import (
+            flash_attention, reference_attention,
+        )
+
+        Bf, H, Tf, D = 4, 8, 1024, 64
+        r2 = np.random.default_rng(1)
+        q, k, v = (
+            jnp.asarray(r2.normal(size=(Bf, H, Tf, D)).astype(np.float32),
+                        jnp.bfloat16)
+            for _ in range(3)
+        )
+        lens = jnp.asarray([Tf, Tf // 2, Tf // 4, 7], jnp.int32)
+        # Behavior at PADDED query positions is don't-care (the model's
+        # loss masks them, so no gradient ever flows from there) and the
+        # two implementations legitimately differ in that region — mask
+        # the probe loss and compare valid rows only, exactly like the
+        # interpreter-mode tests (tests/test_flash_attention.py).
+        qmask = (
+            jnp.arange(Tf)[None, None, :, None] < lens[:, None, None, None]
+        ).astype(jnp.bfloat16)
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, lens, causal=True)
+            return jnp.sum((out * qmask).astype(jnp.float32))
+
+        def loss_ref(q, k, v):
+            out = reference_attention(q, k, v, lens, True, D ** -0.5)
+            return jnp.sum((out * qmask).astype(jnp.float32))
+
+        out_f = flash_attention(q, k, v, lens, causal=True)
+        out_r = reference_attention(q, k, v, lens, True, D ** -0.5)
+        for b in range(Bf):
+            L = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(out_f[b, :, :L], np.float32),
+                np.asarray(out_r[b, :, :L], np.float32),
+                atol=5e-2,
+            )
+        gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            # Gradients sum O(T)=1024 bf16 contributions — compare
+            # scale-aware (miscompiles are O(1) relative, not bf16-ulp).
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0.1, atol=0.1,
+            )
+        print("OK flash attention fwd+bwd parity (Mosaic vs XLA, bf16)")
+
+    print("ALL TPU PARITY CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
