@@ -59,6 +59,54 @@ class TestLoss:
         assert float(masked_cross_entropy(logits, labels)[0]) < 1e-5
 
 
+class TestTopKMetric:
+    def test_rank_based_matches_lax_top_k_with_ties(self):
+        """masked_topk_accuracy avoids the TPU sort by computing the
+        label's rank; must agree with lax.top_k incl. its lowest-index
+        tie rule (quantized logits force heavy ties; offset avoids the
+        only known divergence, IEEE signed-zero merging)."""
+        import jax
+        import jax.numpy as jnp
+
+        from musicstyletransfer_tpu.training.metrics import (
+            masked_topk_accuracy,
+        )
+
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            B, T, V, k = 3, 7, 17, 5
+            logits = jnp.asarray(
+                (np.round(rng.normal(size=(B, T, V)) * 2) / 2 + 0.25)
+                .astype(np.float32)
+            )
+            labels = jnp.asarray(rng.integers(0, V, (B, T)).astype(np.int32))
+            _, topk = jax.lax.top_k(logits, k)
+            hit = jnp.any(topk == labels[..., None], axis=-1)
+            mask = labels != 0
+            want = (int(jnp.sum(hit & mask)), int(jnp.sum(mask)))
+            got_s, got_c = masked_topk_accuracy(logits, labels, k)
+            assert (int(got_s), int(got_c)) == want, (trial, int(got_s), want)
+
+    def test_compares_labels_not_predictions(self):
+        """Reference §8.8: TopKAccuracy reshaped predictions into labels,
+        comparing predictions with themselves (always 100%). Ours must
+        score 0 when the label is never in the top k."""
+        import jax.numpy as jnp
+
+        from musicstyletransfer_tpu.training.metrics import (
+            masked_topk_accuracy,
+        )
+
+        B, T, V = 2, 4, 10
+        logits = np.zeros((B, T, V), np.float32)
+        logits[..., :5] = 10.0  # top-5 is always ids 0..4
+        labels = np.full((B, T), 7, np.int32)  # never in top-5
+        s, c = masked_topk_accuracy(
+            jnp.asarray(logits), jnp.asarray(labels), k=5
+        )
+        assert int(s) == 0 and int(c) == B * T
+
+
 class TestOptimizerConfig:
     def test_param_string_parsing(self):
         oc = OptimizerConfig("adam", "clip_gradient:1.0,beta1:0.8", 1e-3)
