@@ -34,6 +34,13 @@ def sample_toy(args) -> None:
 
 def main(argv=None) -> None:
     args = get_config(argv)
+    if not args.out_samples:
+        # Default is None; without this the sampler dies later in
+        # os.makedirs(None) with an unhelpful TypeError.
+        raise SystemExit(
+            "sample: --out-samples OUTPUT_DIR is required "
+            "(where the transferred .mid files are written)"
+        )
     _setup_jax(args)
 
     if args.toy:

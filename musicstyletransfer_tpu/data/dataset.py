@@ -307,8 +307,14 @@ class MelodyDataset(Dataset):
             idx = order[start : start + bs]
             n_valid = len(idx)
             if n_valid < bs:
-                # wrap-pad to the static batch size (NDArrayIter 'pad')
-                idx = np.concatenate([idx, order[: bs - n_valid]])
+                # wrap-pad to the static batch size (NDArrayIter 'pad');
+                # tile the pool — a corpus smaller than bs - n_valid must
+                # still fill the batch (static shapes are a hard contract:
+                # jit recompiles and mesh data-axis sharding both break on
+                # a short batch).
+                pad = bs - n_valid
+                fill = np.tile(order, -(-pad // n))[:pad]
+                idx = np.concatenate([idx, fill])
             if self.device_layout:
                 yield RawBatch(
                     chunks=self.chunks[idx],

@@ -56,25 +56,53 @@ def prefetch_batches(
         return Batch(tokens=tokens, seq_lens=seq_lens, classes=classes,
                      labels=labels, n_valid=batch.n_valid)
 
+    # The consumer can abandon this generator mid-epoch (early stop,
+    # SIGINT-triggered return): a plain blocking q.put would then wedge the
+    # producer forever, leaking the thread and the staged device buffers.
+    # The producer polls a stop event instead, and the generator's finally
+    # block sets it and drains the queue on close.
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer() -> None:
         try:
             for batch in batches:
-                q.put(stage(batch))
+                if stop.is_set() or not _put(stage(batch)):
+                    return
         except BaseException as exc:  # propagate into the consumer
             err.append(exc)
         finally:
-            q.put(_SENTINEL)
+            # Polling put: a full queue on normal completion must not drop
+            # the sentinel (the consumer would block on q.get forever);
+            # on abandonment stop is set and the loop exits.
+            _put(_SENTINEL)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    thread.join()
-    if err:
-        raise err[0]
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=10)
 
 
 class PrefetchingDataset:

@@ -73,6 +73,9 @@ class StyleTransferService:
 
             self.params = prepare_params(self.params, mesh)
         self._rng = jax.random.key(seed)
+        # The threaded serving loop and direct transfer_tokens/submit_midi
+        # callers may run concurrently; key splitting must not race.
+        self._rng_lock = threading.Lock()
         self._writer = MelodyWriter()
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -116,7 +119,8 @@ class StyleTransferService:
     def _transfer_tokens(self, token_lists: List[np.ndarray]) -> List[TransferResult]:
         assert 0 < len(token_lists) <= self.batch_size
         tokens, seq_lens = self._make_batch(token_lists)
-        self._rng, key = jax.random.split(self._rng)
+        with self._rng_lock:
+            self._rng, key = jax.random.split(self._rng)
         if self.mesh is not None:
             from .sharded import sharded_style_transfer_all_classes
 

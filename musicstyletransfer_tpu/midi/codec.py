@@ -106,6 +106,28 @@ def tokenize_track(track: Sequence[smf.Event]) -> np.ndarray:
     return np.asarray(tokens, dtype=np.int32)
 
 
+def melodies_from_tracks(
+    file_name: str, token_tracks, bpm: float, resolution: int,
+    min_tokens: int,
+) -> List[Melody]:
+    """Per-file track filter shared by the Python and native readers:
+    short tracks are discarded with the reference's warning
+    (midi_io.py:60-63) and an empty result asserts (midi_io.py:67).
+    ONE implementation on purpose — the native reader's bit-identical
+    behavior is a pinned invariant."""
+    result: List[Melody] = []
+    for tokens in token_tracks:
+        if len(tokens) < min_tokens:
+            print(
+                f"Warning: {file_name} contains melodies of length "
+                f"{len(tokens)} < {min_tokens}. Discarding"
+            )
+            continue
+        result.append(Melody(tokens=tokens, bpm=bpm, resolution=resolution))
+    assert len(result) > 0, f"no usable tracks in {file_name}"
+    return result
+
+
 class EventBasedMIDIReader:
     """MIDI file -> list of tokenized Melody, one per kept track.
 
@@ -117,21 +139,10 @@ class EventBasedMIDIReader:
     def read_file(self, file_name: str) -> List[Melody]:
         mf = smf.read_midifile(file_name)
         bpm = _extract_bpm(mf)
-        result: List[Melody] = []
-        for track in mf.tracks:
-            tokens = tokenize_track(track)
-            if len(tokens) < self.MIN_TRACK_TOKENS:
-                # Reference warning at midi_io.py:60-63.
-                print(
-                    f"Warning: {file_name} contains melodies of length "
-                    f"{len(tokens)} < {self.MIN_TRACK_TOKENS}. Discarding"
-                )
-                continue
-            result.append(
-                Melody(tokens=tokens, bpm=bpm, resolution=mf.resolution)
-            )
-        assert len(result) > 0, f"no usable tracks in {file_name}"
-        return result
+        return melodies_from_tracks(
+            file_name, [tokenize_track(t) for t in mf.tracks], bpm,
+            mf.resolution, self.MIN_TRACK_TOKENS,
+        )
 
 
 class MelodyWriter:

@@ -19,7 +19,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .codec import Melody
+from .codec import Melody, melodies_from_tracks as _to_melodies
 from .vocab import DEFAULT_BPM
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -237,17 +237,3 @@ class NativeMIDIReader:
                              int(resolutions[i]), self.MIN_TRACK_TOKENS)
             )
         return out
-
-
-def _to_melodies(file_name, tracks, bpm, resolution, min_tokens):
-    result: List[Melody] = []
-    for toks in tracks:
-        if len(toks) < min_tokens:
-            print(
-                f"Warning: {file_name} contains melodies of length "
-                f"{len(toks)} < {min_tokens}. Discarding"
-            )
-            continue
-        result.append(Melody(tokens=toks, bpm=bpm, resolution=resolution))
-    assert len(result) > 0, f"no usable tracks in {file_name}"
-    return result

@@ -83,7 +83,13 @@ def build_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
                              eps=extra.pop("epsilon", 1e-8))
     else:
         raise ValueError(f"unsupported optimizer {config.optimizer!r}")
-    transforms.append(core)
     if wd:
-        transforms.append(optax.add_decayed_weights(-wd))
+        # MXNet `wd` semantics: L2 added to the GRADIENT before the update
+        # rule, so the decay is scaled by the learning rate like any other
+        # gradient term (param -= lr * (grad + wd * param) for sgd).
+        # Appending the decay AFTER the core would bypass the lr and decay
+        # ~1/lr times too strongly. (Decoupled adamw-style decay is the
+        # separate `--optimizer adamw` path.)
+        transforms.append(optax.add_decayed_weights(wd))
+    transforms.append(core)
     return optax.chain(*transforms)

@@ -69,3 +69,16 @@ class TestEvaluateCLI:
         b = run(19)  # doesn't divide the corpus -> exercises wrap masking
         for k in a:
             assert abs(a[k] - b[k]) < 1e-3, (k, a[k], b[k])
+
+
+class TestSampleCLIRequiredArgs:
+    def test_missing_out_samples_is_a_clear_error(self):
+        """cli.sample without --out-samples must exit with a usable message,
+        not crash later in os.makedirs(None)."""
+        import pytest
+
+        from musicstyletransfer_tpu.cli import sample as sample_cli
+
+        with pytest.raises(SystemExit, match="out-samples"):
+            sample_cli.main(["--model-output", "/tmp/nope",
+                             "--data", "/tmp/nope"])

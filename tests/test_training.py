@@ -129,6 +129,49 @@ class TestOptimizerConfig:
             build_optimizer(OptimizerConfig("nope", "", 1e-3))
 
 
+class TestTinyCorpusWrap:
+    def test_batch_larger_than_twice_corpus_still_full(self):
+        """batch_size > 2x corpus: the wrap pool must tile, keeping the
+        static batch-size contract (short batches recompile jit programs
+        and break mesh data-axis sharding)."""
+        from musicstyletransfer_tpu.data import MelodyDataset
+        from musicstyletransfer_tpu.midi.codec import Melody
+        from musicstyletransfer_tpu.midi.vocab import note_on_id
+
+        mel = {"a": [Melody(tokens=np.asarray(
+            [note_on_id(60)] * 20, np.int32))]}  # -> 3 chunks at L=8
+        ds = MelodyDataset(8, 8, mel, shuffle=False)
+        batches = list(ds)
+        assert len(batches) == 1
+        b = batches[0]
+        assert b.tokens.shape[0] == 8  # full static batch
+        assert b.num_valid == 3
+
+
+class TestWeightDecaySemantics:
+    def test_wd_scales_with_learning_rate(self):
+        """MXNet `wd` adds L2 to the GRADIENT: sgd with zero grad must
+        step by -lr*wd*p, not -wd*p (the unscaled form decays 1/lr times
+        too strongly — 3333x at the canonical lr)."""
+        import jax.numpy as jnp
+
+        from musicstyletransfer_tpu.training import (
+            OptimizerConfig, build_optimizer,
+        )
+
+        lr, wd = 0.1, 0.01
+        tx = build_optimizer(OptimizerConfig("sgd", f"wd:{wd}", lr))
+        params = {"w": jnp.asarray([1.0, -2.0])}
+        state = tx.init(params)
+        grads = {"w": jnp.zeros(2)}
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_allclose(
+            np.asarray(updates["w"]),
+            -lr * wd * np.asarray(params["w"]),
+            rtol=1e-6,
+        )
+
+
 class TestTensorizer:
     def _melody(self, toks):
         return Melody(tokens=np.asarray(toks, np.int32))
@@ -273,6 +316,35 @@ class TestTrainLoop:
         for a, b in zip(jax.tree.leaves(restored.params),
                         jax.tree.leaves(state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPrefetchAbandonment:
+    def test_producer_exits_when_consumer_abandons(self):
+        """Closing the prefetch generator mid-epoch (early stop, SIGINT)
+        must unblock and terminate the producer thread instead of leaving
+        it wedged in q.put holding staged device buffers."""
+        import threading
+        import time as _time
+
+        from musicstyletransfer_tpu.data.prefetch import prefetch_batches
+        from musicstyletransfer_tpu.data.dataset import Batch
+
+        def make_batch(i):
+            return Batch(
+                tokens=np.full((2, 4), i, np.int32),
+                seq_lens=np.full((2,), 4, np.int32),
+                classes=np.zeros((2,), np.int32),
+                labels=np.full((2, 4), i, np.int32),
+            )
+
+        before = threading.active_count()
+        gen = prefetch_batches((make_batch(i) for i in range(1000)), size=2)
+        next(gen)  # producer is now running and refilling the queue
+        gen.close()  # abandon mid-epoch
+        deadline = _time.time() + 15
+        while threading.active_count() > before and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert threading.active_count() <= before, "producer thread leaked"
 
 
 class TestPrefetch:
