@@ -13,6 +13,10 @@ import glob
 import os
 import sys
 
+# Runnable from a plain checkout (no pip install): the repo root is the
+# example's parent directory.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
