@@ -15,6 +15,7 @@ hypothesis and cache reordering.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -25,6 +26,9 @@ from ..midi.vocab import EOS_ID, PAD_ID, SOS_ID
 from ..models.vae import StyleVAE
 
 _NEG_INF = -1e30  # filtered-out logits (avoids inf-inf NaNs in softmax)
+
+_logger = logging.getLogger(__name__)
+_fused_switch_logged = False
 
 
 class _SampleLoopState(NamedTuple):
@@ -82,7 +86,25 @@ def _fused_eligible(model: StyleVAE, batch: int, max_len: int,
         return False  # Mosaic only compiles for TPU
     # max_grid=2: beyond two sequential batch tiles the XLA loop's
     # big-batch matmuls win (measured; see supports_fused_decode).
-    return supports_fused_decode(model.config, batch, max_len, max_grid=2)
+    eligible = supports_fused_decode(
+        model.config, batch, max_len, max_grid=2,
+        mode="greedy" if greedy else "sample",
+    )
+    if eligible and not greedy:
+        # The fused kernel samples with the TPU hardware PRNG — same
+        # distribution, different draws than jax.random.categorical under
+        # the same key. Say so once, so CPU-vs-TPU eval comparisons don't
+        # chase a phantom nondeterminism bug (happens at trace time only).
+        global _fused_switch_logged
+        if not _fused_switch_logged:
+            _fused_switch_logged = True
+            _logger.info(
+                "decode auto-selected the fused Pallas kernel: sampling "
+                "uses the TPU hardware PRNG (key-deterministic per seed, "
+                "but not bit-identical to jax.random.categorical); pass "
+                "use_fused=False for the XLA sampler"
+            )
+    return eligible
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5),

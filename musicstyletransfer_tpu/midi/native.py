@@ -32,8 +32,10 @@ _ERRORS = {
     -3: "unsupported SMF feature (SMPTE division)",
     -4: "buffer capacity exceeded",
     -5: "bad event byte",
+    -6: "corpus exceeds the int32 token arena (2^31 tokens); "
+        "split the scan into smaller path batches",
 }
-_ERR_CAPACITY = -4  # MST_ERR_CAPACITY: caller retries with bigger buffers
+_ERR_CAPACITY = -4  # MST_ERR_CAPACITY: caller retries with reported sizes
 
 _lib: Optional[ctypes.CDLL] = None
 _lib_load_failed = False
@@ -95,6 +97,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
     ]
     _lib = lib
     return lib
@@ -188,15 +192,13 @@ class NativeMIDIReader:
         # The C contract (native/midi_tokenizer.cpp) is retry-on-capacity:
         # the caps above are heuristics — track-heavy corpora exceed the
         # ~64 tracks/file guess, and huge tick gaps can emit more tokens
-        # than 2x the byte size — so grow and retry instead of failing a
-        # scan the per-file path would handle fine. The aggregate error
-        # code doesn't say WHICH buffer overflowed, so grow the (tiny)
-        # track index to its hard bound first and only then start doubling
-        # the token arena; stop once nothing can grow further (e.g. the
-        # scanner's 2^31-token arena bound).
-        track_cap_max = n * self.MAX_TRACKS + 4096
-        tokens_cap_max = (1 << 31) - 1
-        for _ in range(8):
+        # than 2x the byte size. On MST_ERR_CAPACITY the scanner reports
+        # the EXACT sizes it needs, so at most one retry with precisely
+        # those allocations (no blind doubling toward a host OOM); an
+        # arena beyond int32 offsets is MST_ERR_TOO_LARGE, unretryable.
+        required_tokens = ctypes.c_int64(0)
+        required_tracks = ctypes.c_int64(0)
+        for _ in range(2):
             tokens = np.empty(tokens_cap, dtype=np.int32)
             track_starts = np.empty(track_cap, dtype=np.int32)
             total = self._lib.mst_tokenize_files(
@@ -209,15 +211,13 @@ class NativeMIDIReader:
                 file_rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 resolutions.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 bpms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                ctypes.byref(required_tokens),
+                ctypes.byref(required_tracks),
             )
             if total != _ERR_CAPACITY:
                 break
-            if track_cap < track_cap_max:
-                track_cap = min(track_cap * 8, track_cap_max)
-            elif tokens_cap < tokens_cap_max:
-                tokens_cap = min(tokens_cap * 2, tokens_cap_max)
-            else:
-                break  # nothing left to grow; surface the error
+            tokens_cap = max(required_tokens.value, 1)
+            track_cap = max(required_tracks.value, 1)
         if total < 0:
             raise ValueError(f"native corpus scan: {_ERRORS.get(total, total)}")
         out: List[List[Melody]] = []

@@ -58,8 +58,13 @@ _NEG_INF = -1e30
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _tile_fits(config, batch: int, max_len: int) -> bool:
-    """VMEM footprint check for one batch tile of the kernel."""
+def _tile_fits(config, batch: int, max_len: int, mode: str = "sample") -> bool:
+    """VMEM footprint check for one batch tile of the kernel.
+
+    ``mode="forced"`` adds the per-step logits output buffer
+    ([max_len, batch, V] f32) that teacher-forced mode writes — without it
+    a forced-mode tile could pass this check yet exceed VMEM in Mosaic
+    (~4.9 MB extra at flagship B=32/T=130/V=293)."""
     dc = config.decoder_config
     tc = dc.transformer_config
     d, L, V = tc.model_size, tc.num_layers, dc.output_dim
@@ -68,10 +73,14 @@ def _tile_fits(config, batch: int, max_len: int) -> bool:
     ffn = d * d * tc.ffn_multiplier  # elements; itemsize applied below
     weights = L * (4 * d * d + 2 * ffn) * itemsize + 2 * V * d * 4
     act = 6 * max_len * batch * d * itemsize + 4 * batch * V * 4
+    if mode == "forced":
+        act += max_len * batch * V * 4  # full logits output lives in VMEM
     return cache + weights + act < _VMEM_BUDGET
 
 
-def select_batch_tile(config, batch: int, max_len: int) -> Optional[int]:
+def select_batch_tile(
+    config, batch: int, max_len: int, mode: str = "sample"
+) -> Optional[int]:
     """Pick the batch-tile size: the whole batch when it fits (grid of 1 —
     the fast path), else the largest multiple-of-8 divisor of ``batch``
     whose per-tile cache+weights+activations fit VMEM. Rows are independent
@@ -80,20 +89,25 @@ def select_batch_tile(config, batch: int, max_len: int) -> Optional[int]:
     Alignment note: unaligned batch sizes are CORRECT either way (Mosaic
     pads the sublane dim — the B=1 p50-latency path runs this kernel on
     hardware); the multiple-of-8 preference in the tile search only avoids
-    paying that padding waste times the grid count. Returns None when no
-    admissible tile exists."""
-    if _tile_fits(config, batch, max_len):
+    paying that padding waste times the grid count, so unaligned divisors
+    are admitted as a last resort before giving up (e.g. B=12 tiles as
+    2x6). Returns None when no admissible tile exists."""
+    if _tile_fits(config, batch, max_len, mode):
         return batch
     for tile in range(batch // 2, 7, -1):
         if batch % tile == 0 and tile % 8 == 0 and _tile_fits(
-            config, tile, max_len
+            config, tile, max_len, mode
         ):
+            return tile
+    for tile in range(batch // 2, 0, -1):  # unaligned fallback
+        if batch % tile == 0 and _tile_fits(config, tile, max_len, mode):
             return tile
     return None
 
 
 def supports_fused_decode(
-    config, batch: int, max_len: int, max_grid: Optional[int] = None
+    config, batch: int, max_len: int, max_grid: Optional[int] = None,
+    mode: str = "sample",
 ) -> bool:
     """True when the decoder fits this kernel: transformer type, head_dim
     divides lanes cleanly, and some batch tile fits the VMEM budget.
@@ -112,7 +126,7 @@ def supports_fused_decode(
     tc = dc.transformer_config
     if tc.model_size % tc.num_heads != 0 or tc.model_size % 128 != 0:
         return False
-    tile = select_batch_tile(config, batch, max_len)
+    tile = select_batch_tile(config, batch, max_len, mode)
     if tile is None:
         return False
     return max_grid is None or batch // tile <= max_grid
@@ -407,7 +421,7 @@ def fused_decode(
     cdtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
 
     Bt = batch_tile if batch_tile is not None else select_batch_tile(
-        config, B, T
+        config, B, T, mode
     )
     if Bt is None or B % Bt != 0:
         raise ValueError(

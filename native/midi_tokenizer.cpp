@@ -30,6 +30,7 @@ enum {
   MST_ERR_UNSUPPORTED = -3,
   MST_ERR_CAPACITY = -4,
   MST_ERR_BAD_EVENT = -5,
+  MST_ERR_TOO_LARGE = -6,  // corpus exceeds the int32 arena; no retry helps
 };
 
 }  // extern "C"
@@ -289,15 +290,21 @@ extern "C" {
 //   resolutions_out, bpms_out   n_files each
 //
 // Returns total token count, or MST_ERR_CAPACITY when an output does not
-// fit (caller retries with bigger buffers). Per-file parse errors do NOT
-// fail the scan: the file gets rc != 0 and zero tracks.
+// fit — in which case *required_tokens_out / *required_tracks_out (either
+// may be null) carry the EXACT buffer sizes a retry needs, so the caller
+// reallocates once instead of doubling blind. A corpus whose token arena
+// would exceed int32 offsets returns MST_ERR_TOO_LARGE (unretryable).
+// Per-file parse errors do NOT fail the scan: the file gets rc != 0 and
+// zero tracks.
 int64_t mst_tokenize_files(const char** paths, int32_t n_files,
                            int32_t n_threads, int32_t* tokens_out,
                            int64_t tokens_cap, int32_t* track_starts_out,
                            int64_t track_starts_cap,
                            int32_t* file_track_index_out,
                            int32_t* file_rc_out, int32_t* resolutions_out,
-                           double* bpms_out) {
+                           double* bpms_out,
+                           int64_t* required_tokens_out,
+                           int64_t* required_tracks_out) {
   if (n_files <= 0) {
     file_track_index_out[0] = 0;
     return 0;
@@ -318,10 +325,27 @@ int64_t mst_tokenize_files(const char** paths, int32_t n_files,
   for (int32_t i = 0; i < nt; ++i) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
 
-  // Serial merge into the caller's arena, preserving file order. Arena
+  // Everything is tokenized in per-file scratch now, so the exact arena
+  // requirements are known before any caller buffer is touched. Arena
   // offsets are int32 on the wire: refuse scans beyond 2^31 tokens rather
   // than silently wrapping.
   constexpr int64_t kMaxArena = 0x7FFFFFF0;
+  int64_t req_tokens = 0;
+  int64_t req_tracks = 1;  // end sentinel
+  for (int32_t i = 0; i < n_files; ++i) {
+    const FileScan& fs = scans[static_cast<size_t>(i)];
+    if (fs.rc != 0) continue;
+    req_tokens += static_cast<int64_t>(fs.tokens.size());
+    req_tracks += fs.n_tracks;
+  }
+  if (required_tokens_out) *required_tokens_out = req_tokens;
+  if (required_tracks_out) *required_tracks_out = req_tracks;
+  if (req_tokens > kMaxArena) return MST_ERR_TOO_LARGE;
+  if (req_tokens > tokens_cap || req_tracks > track_starts_cap) {
+    return MST_ERR_CAPACITY;
+  }
+
+  // Serial merge into the caller's arena, preserving file order.
   int64_t total_tokens = 0;
   int64_t total_tracks = 0;
   for (int32_t i = 0; i < n_files; ++i) {
@@ -331,11 +355,6 @@ int64_t mst_tokenize_files(const char** paths, int32_t n_files,
     bpms_out[i] = fs.bpm;
     file_track_index_out[i] = static_cast<int32_t>(total_tracks);
     if (fs.rc != 0) continue;
-    if (total_tokens + static_cast<int64_t>(fs.tokens.size()) > tokens_cap ||
-        total_tokens + static_cast<int64_t>(fs.tokens.size()) > kMaxArena ||
-        total_tracks + fs.n_tracks + 1 > track_starts_cap) {
-      return MST_ERR_CAPACITY;
-    }
     for (int32_t t = 0; t < fs.n_tracks; ++t) {
       track_starts_out[total_tracks + t] =
           static_cast<int32_t>(total_tokens) + fs.track_offsets[t];
@@ -348,7 +367,6 @@ int64_t mst_tokenize_files(const char** paths, int32_t n_files,
     total_tracks += fs.n_tracks;
   }
   file_track_index_out[n_files] = static_cast<int32_t>(total_tracks);
-  if (total_tracks + 1 > track_starts_cap) return MST_ERR_CAPACITY;
   track_starts_out[total_tracks] = static_cast<int32_t>(total_tokens);
   return total_tokens;
 }
