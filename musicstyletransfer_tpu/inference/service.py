@@ -21,6 +21,7 @@ CLI (one-shot directory mode):
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 import threading
@@ -46,6 +47,60 @@ class TransferResult:
     tokens_by_class: Dict[int, np.ndarray]
 
 
+def _percentile(sorted_vals: List[float], p: float) -> float:
+    """Nearest-rank percentile of an ascending list (p in [0, 100])."""
+    if not sorted_vals:
+        return 0.0
+    idx = min(len(sorted_vals) - 1, max(0, int(p / 100.0 * len(sorted_vals))))
+    return sorted_vals[idx]
+
+
+class ServiceStats:
+    """Thread-safe serving counters: request latency (enqueue -> callback),
+    batch fill, and queue depth at batch formation.
+
+    VERDICT r02 item 4: the continuous-service claim (BASELINE config #5)
+    had no p99/queue-depth instrumentation. Latency samples ride a bounded
+    deque so a long-lived service never grows host memory."""
+
+    def __init__(self, max_samples: int = 65536):
+        self._lock = threading.Lock()
+        self._latencies_ms = collections.deque(maxlen=max_samples)
+        self._batch_fills = collections.deque(maxlen=max_samples)
+        self._served = 0
+        self._batches = 0
+        self._max_queue_depth = 0
+
+    def record_batch(self, fill: int, queue_depth_after: int,
+                     latencies_ms: List[float]) -> None:
+        with self._lock:
+            self._batches += 1
+            self._served += fill
+            self._batch_fills.append(fill)
+            self._latencies_ms.extend(latencies_ms)
+            self._max_queue_depth = max(
+                self._max_queue_depth, queue_depth_after
+            )
+
+    def snapshot(self) -> Dict[str, float]:
+        """-> requests served, batches, mean fill, queue-depth high-water,
+        p50/p99/max request latency (ms). Safe to call while serving."""
+        with self._lock:
+            lat = sorted(self._latencies_ms)
+            fills = list(self._batch_fills)
+            served, batches = self._served, self._batches
+            depth = self._max_queue_depth
+        return {
+            "requests_served": served,
+            "batches": batches,
+            "mean_batch_fill": (sum(fills) / len(fills)) if fills else 0.0,
+            "max_queue_depth": depth,
+            "latency_p50_ms": _percentile(lat, 50),
+            "latency_p99_ms": _percentile(lat, 99),
+            "latency_max_ms": lat[-1] if lat else 0.0,
+        }
+
+
 class StyleTransferService:
     def __init__(
         self,
@@ -56,10 +111,20 @@ class StyleTransferService:
         max_wait_ms: float = 10.0,
         seed: int = 0,
         mesh=None,
+        buckets: Optional[List[int]] = None,
     ):
         """``mesh``: optional jax.sharding.Mesh — serve the micro-batch
         sharded over its data axis (params placed per the TP rules once,
-        here). None = single-device fused path."""
+        here). None = single-device fused path.
+
+        ``buckets``: optional ascending sequence-length buckets (the TPU
+        length-bucketing idiom, SURVEY §5.7): each micro-batch runs at the
+        smallest bucket >= its longest request instead of always padding
+        to ``max_seq_len``. One compiled program per bucket (compiled on
+        first use, cached by XLA thereafter); the generation budget scales
+        with the bucket too (2*(bucket+1) decode steps), which is where
+        the real win is — decode steps dominate the fused call. None
+        disables bucketing (always ``max_seq_len``)."""
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
         )
@@ -67,6 +132,16 @@ class StyleTransferService:
         self.batch_size = batch_size
         self.max_seq_len = max_seq_len
         self.max_wait_ms = max_wait_ms
+        if buckets:
+            bl = sorted(set(int(b) for b in buckets))
+            if bl[-1] != max_seq_len:
+                raise ValueError(
+                    f"largest bucket ({bl[-1]}) must equal max_seq_len "
+                    f"({max_seq_len})"
+                )
+            self.buckets = bl
+        else:
+            self.buckets = [max_seq_len]
         self.mesh = mesh
         if mesh is not None:
             from .sharded import prepare_params
@@ -76,6 +151,7 @@ class StyleTransferService:
         # The threaded serving loop and direct transfer_tokens/submit_midi
         # callers may run concurrently; key splitting must not race.
         self._rng_lock = threading.Lock()
+        self.stats = ServiceStats()
         self._writer = MelodyWriter()
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -94,9 +170,16 @@ class StyleTransferService:
                 return toks[: self.max_seq_len]
         raise ValueError("no note events in MIDI request")
 
-    def _make_batch(self, token_lists: List[np.ndarray]):
+    def _pick_bucket(self, token_lists: List[np.ndarray]) -> int:
+        """Smallest bucket covering the longest request in this batch."""
+        longest = max(min(len(t), self.max_seq_len) for t in token_lists)
+        for b in self.buckets:
+            if b >= longest:
+                return b
+        return self.buckets[-1]
+
+    def _make_batch(self, token_lists: List[np.ndarray], L: int):
         n = len(token_lists)
-        L = self.max_seq_len
         tokens = np.full((self.batch_size, L + 1), PAD_ID, np.int32)
         tokens[:, 0] = SOS_ID
         seq_lens = np.ones((self.batch_size,), np.int32)
@@ -118,7 +201,8 @@ class StyleTransferService:
 
     def _transfer_tokens(self, token_lists: List[np.ndarray]) -> List[TransferResult]:
         assert 0 < len(token_lists) <= self.batch_size
-        tokens, seq_lens = self._make_batch(token_lists)
+        bucket = self._pick_bucket(token_lists)
+        tokens, seq_lens = self._make_batch(token_lists, bucket)
         with self._rng_lock:
             self._rng, key = jax.random.split(self._rng)
         if self.mesh is not None:
@@ -129,7 +213,7 @@ class StyleTransferService:
                 self.params,
                 jnp.asarray(tokens),
                 jnp.asarray(seq_lens),
-                2 * (self.max_seq_len + 1),
+                2 * (bucket + 1),
                 self.num_classes,
                 key,
                 self.mesh,
@@ -141,7 +225,7 @@ class StyleTransferService:
                 self.params,
                 jnp.asarray(tokens),
                 jnp.asarray(seq_lens),
-                2 * (self.max_seq_len + 1),
+                2 * (bucket + 1),
                 self.num_classes,
                 key,
             )
@@ -177,7 +261,9 @@ class StyleTransferService:
 
     def enqueue(self, midi_bytes: bytes, callback) -> None:
         """Queue a request; ``callback(TransferResult)`` fires when served."""
-        self._queue.put((self._tokens_from_midi(midi_bytes), callback))
+        self._queue.put(
+            (self._tokens_from_midi(midi_bytes), callback, time.perf_counter())
+        )
 
     def _loop(self) -> None:
         while self._running:
@@ -195,6 +281,12 @@ class StyleTransferService:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            results = self.transfer_tokens([t for t, _ in batch])
-            for (_, callback), result in zip(batch, results):
+            results = self.transfer_tokens([t for t, _, _ in batch])
+            now = time.perf_counter()
+            self.stats.record_batch(
+                fill=len(batch),
+                queue_depth_after=self._queue.qsize(),
+                latencies_ms=[(now - t0) * 1e3 for _, _, t0 in batch],
+            )
+            for (_, callback, _), result in zip(batch, results):
                 callback(result)

@@ -6,9 +6,16 @@ kernel fuses QK^T, masking (padding + causal), the online-softmax
 normalization, and the value contraction into one VMEM-resident pass —
 no [T, T] probability matrix ever hits HBM.
 
-Layout: per-(batch*head) grid row, q processed in blocks with the full K/V
-for that head held in VMEM (fine up to T ~ 8k at head_dim <= 64; longer
-sequences would move K/V blocks through HBM DMA — future work).
+Layout: per-(batch*head) grid row, q processed in blocks. Two regimes:
+
+- T < _STREAM_THRESHOLD: the full K/V for the head stays VMEM-resident
+  (grid (BH, num_q); cheapest at short/medium lengths).
+- T >= _STREAM_THRESHOLD: K/V blocks STREAM from HBM via a third grid
+  dimension — online-softmax accumulators live in VMEM scratch that
+  persists across the innermost k axis, so VMEM use is O(block) and the
+  kernel scales to T = 32k+. Causal runs clamp the K/V index map at the
+  diagonal, so beyond-diagonal blocks resolve to the same block index and
+  Mosaic skips their DMA entirely (no wasted bandwidth).
 
 Training: wrapped in jax.custom_vjp; the backward pass is its own pair of
 Pallas kernels (dQ, then dK/dV) that recompute probability blocks from the
@@ -172,13 +179,175 @@ def flash_attention(
 # online-softmax loop (tunable; see bench history in commit messages).
 _MAX_BLOCK = 256
 
+# At/above this padded length, K/V stream from HBM block-by-block instead
+# of living whole in VMEM (the resident path's footprint grows linearly
+# with T and stops compiling around T ~ 8k at D=64 once the backward's
+# full-T q/do blocks are added).
+_STREAM_THRESHOLD = 8192
+_STREAM_BLOCK = 512
+
 
 def _block_for(T: int) -> int:
     return min(_MAX_BLOCK if T < 2048 else 512, _round_up(T, 8))
 
 
+def _flash_stream_kernel(
+    lens_ref,  # SMEM [1, 1]
+    q_ref,  # VMEM [block_q, D]
+    k_ref,  # VMEM [block_k, D]  (streamed per grid step)
+    v_ref,  # VMEM [block_k, D]
+    o_ref,  # VMEM [block_q, D]
+    lse_ref,  # VMEM [block_q, 1]
+    acc_ref,  # scratch [block_q, D] f32, persists across the k grid axis
+    m_ref,  # scratch [block_q, 1] f32
+    l_ref,  # scratch [block_q, 1] f32
+    *,
+    block_q: int,
+    block_k: int,
+    num_k: int,
+    causal: bool,
+    sm_scale: float,
+):
+    """Streaming-K/V forward: grid (BH, num_q, num_k), k innermost.
+
+    Same math as _flash_kernel's fori_loop body, but the loop IS the grid:
+    each step sees one [block_k, D] K/V tile DMA'd to VMEM while the online
+    softmax state rides scratch. Masked-out k blocks (padding past
+    ``key_lens``, or causally above the diagonal) skip their update via
+    ``pl.when``; causal ones also never pay DMA (clamped index map)."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    valid_len = lens_ref[0, 0]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    active = ki * block_k < valid_len
+    if causal:
+        active = active & (ki * block_k <= (qi + 1) * block_q - 1)
+
+    @pl.when(active)
+    def _update():
+        q = q_ref[:] * jnp.asarray(sm_scale, q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        m = m_ref[...]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        scale = jnp.exp(m - m_new)
+        l_ref[...] = l_ref[...] * scale + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * scale + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[...] = m_new
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[:] = (acc_ref[...] / l).astype(o_ref.dtype)
+        lse_ref[:] = m_ref[...] + jnp.log(l)
+
+
+def _stream_kv_index_map(block_q: int, block_k: int, causal: bool):
+    """K/V BlockSpec index map for the streaming grids. Causal clamps ki at
+    the diagonal: beyond it the map repeats the previous block index, and
+    Mosaic elides the DMA for a re-fetched block."""
+    if not causal:
+        return lambda bh, qi, ki: (bh, ki, 0)
+
+    def clamped(bh, qi, ki):
+        last = ((qi + 1) * block_q - 1) // block_k
+        return (bh, jnp.minimum(ki, last), 0)
+
+    return clamped
+
+
+def _flash_forward_streaming(q, k, v, key_lens, causal, sm_scale, interpret):
+    B, H, T, D = q.shape
+    block_q = block_k = _STREAM_BLOCK
+    T_pad = _round_up(T, _STREAM_BLOCK)
+    if T_pad != T:
+        pad = [(0, 0), (0, 0), (0, T_pad - T), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+
+    BH = B * H
+    qf = q.reshape(BH, T_pad, D)
+    kf = k.reshape(BH, T_pad, D)
+    vf = v.reshape(BH, T_pad, D)
+    lens = jnp.repeat(key_lens.astype(jnp.int32), H).reshape(BH, 1, 1)
+    num_q = T_pad // block_q
+    num_k = T_pad // block_k
+
+    kv_map = _stream_kv_index_map(block_q, block_k, causal)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_stream_kernel,
+            block_q=block_q,
+            block_k=block_k,
+            num_k=num_k,
+            causal=causal,
+            sm_scale=sm_scale,
+        ),
+        grid=(BH, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((None, 1, 1), lambda bh, qi, ki: (bh, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, block_q, D), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, D), kv_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, D), kv_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, D), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, qf, kf, vf)
+    out = out.reshape(B, H, T_pad, D)[:, :, :T, :]
+    lse = lse.reshape(B, H, T_pad)[:, :, :T]
+    return out, lse
+
+
 def _flash_forward_with_lse(q, k, v, key_lens, causal, sm_scale, interpret):
     B, H, T, D = q.shape
+    if _round_up(T, _STREAM_BLOCK) >= _STREAM_THRESHOLD:
+        return _flash_forward_streaming(
+            q, k, v, key_lens, causal, sm_scale, interpret
+        )
 
     block_q = _block_for(T)
     block_k = _block_for(T)
@@ -373,9 +542,250 @@ def _dkv_kernel(
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
+def _dq_stream_kernel(
+    lens_ref,  # SMEM [1, 1]
+    q_ref,  # VMEM [block_q, D]
+    do_ref,  # VMEM [block_q, D]
+    lse_ref,  # VMEM [block_q, 1]
+    delta_ref,  # VMEM [block_q, 1]
+    k_ref,  # VMEM [block_k, D] (streamed)
+    v_ref,  # VMEM [block_k, D] (streamed)
+    dq_ref,  # VMEM [block_q, D]
+    dq_acc_ref,  # scratch [block_q, D] f32
+    *,
+    block_q: int,
+    block_k: int,
+    num_k: int,
+    causal: bool,
+    sm_scale: float,
+):
+    """Streaming dQ: grid (BH, num_q, num_k); same math as _dq_kernel's
+    fori_loop body with the k loop as the grid's innermost axis."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    valid_len = lens_ref[0, 0]
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc_ref[...] = jnp.zeros_like(dq_acc_ref)
+
+    active = ki * block_k < valid_len
+    if causal:
+        active = active & (ki * block_k <= (qi + 1) * block_q - 1)
+
+    @pl.when(active)
+    def _update():
+        q = q_ref[:].astype(jnp.float32) * sm_scale
+        do = do_ref[:].astype(jnp.float32)
+        kblk = k_ref[:].astype(jnp.float32)
+        vblk = v_ref[:].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        p = jnp.where(mask, jnp.exp(s - lse_ref[:]), 0.0)
+        dp = jax.lax.dot_general(
+            do, vblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[:])
+        dq_acc_ref[...] = dq_acc_ref[...] + jax.lax.dot_general(
+            ds, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == num_k - 1)
+    def _finalize():
+        dq_ref[:] = (dq_acc_ref[...] * sm_scale).astype(dq_ref.dtype)
+
+
+def _dkv_stream_kernel(
+    lens_ref,  # SMEM [1, 1]
+    k_ref,  # VMEM [block_k, D]
+    v_ref,  # VMEM [block_k, D]
+    q_ref,  # VMEM [block_q, D] (streamed)
+    do_ref,  # VMEM [block_q, D] (streamed)
+    lse_ref,  # VMEM [block_q, 1] (streamed)
+    delta_ref,  # VMEM [block_q, 1] (streamed)
+    dk_ref,  # VMEM [block_k, D]
+    dv_ref,  # VMEM [block_k, D]
+    dk_acc_ref,  # scratch [block_k, D] f32
+    dv_acc_ref,  # scratch [block_k, D] f32
+    *,
+    block_q: int,
+    block_k: int,
+    num_q: int,
+    causal: bool,
+    sm_scale: float,
+):
+    """Streaming dK/dV: grid (BH, num_k, num_q), q innermost; causal skips
+    (and never DMAs, via the clamped q index map) query blocks strictly
+    before this key block."""
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    valid_len = lens_ref[0, 0]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+
+    active = qi * block_q < valid_len
+    if causal:
+        active = active & ((qi + 1) * block_q - 1 >= ki * block_k)
+
+    @pl.when(active)
+    def _update():
+        kblk = k_ref[:].astype(jnp.float32)
+        vblk = v_ref[:].astype(jnp.float32)
+        qblk = q_ref[:].astype(jnp.float32)
+        doblk = do_ref[:].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            qblk * sm_scale, kblk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = k_pos < valid_len
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        mask = mask & (q_pos < valid_len)  # padded q rows: lse is garbage
+        p = jnp.where(mask, jnp.exp(s - lse_ref[:]), 0.0)
+        dv_acc_ref[...] = dv_acc_ref[...] + jax.lax.dot_general(
+            p, doblk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            doblk, vblk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[:])
+        dk_acc_ref[...] = dk_acc_ref[...] + jax.lax.dot_general(
+            ds, qblk, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == num_q - 1)
+    def _finalize():
+        dk_ref[:] = (dk_acc_ref[...] * sm_scale).astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+
+def _flash_backward_streaming(q, k, v, key_lens, lse, out, g, causal,
+                              sm_scale, interpret):
+    B, H, T, D = q.shape
+    block_q = block_k = _STREAM_BLOCK
+    T_pad = _round_up(T, _STREAM_BLOCK)
+    if T_pad != T:
+        pad = [(0, 0), (0, 0), (0, T_pad - T), (0, 0)]
+        q, k, v, out, g = (jnp.pad(x, pad) for x in (q, k, v, out, g))
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, T_pad - T)],
+                      constant_values=_NEG_INF)
+
+    BH = B * H
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    qf, kf, vf, dof = (x.reshape(BH, T_pad, D) for x in (q, k, v, g))
+    lsef = lse.reshape(BH, T_pad, 1)
+    deltaf = delta.reshape(BH, T_pad, 1)
+    lens = jnp.repeat(key_lens.astype(jnp.int32), H).reshape(BH, 1, 1)
+    num_q = T_pad // block_q
+    num_k = T_pad // block_k
+
+    lens_spec = pl.BlockSpec((None, 1, 1), lambda bh, i, j: (bh, 0, 0),
+                             memory_space=pltpu.SMEM)
+
+    def by_i(bs, width=None):
+        w = D if width is None else width
+        return pl.BlockSpec((None, bs, w), lambda bh, i, j: (bh, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    arb3 = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+    )
+
+    # dQ: q-row blocks by grid axis 1, K/V streamed on axis 2 (causal
+    # clamps the K/V map at the diagonal).
+    kv_map = _stream_kv_index_map(block_q, block_k, causal)
+    kv_spec = pl.BlockSpec((None, block_k, D), kv_map,
+                           memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_stream_kernel, block_q=block_q, block_k=block_k,
+            num_k=num_k, causal=causal, sm_scale=sm_scale,
+        ),
+        grid=(BH, num_q, num_k),
+        in_specs=[lens_spec, by_i(block_q), by_i(block_q),
+                  by_i(block_q, 1), by_i(block_q, 1), kv_spec, kv_spec],
+        out_specs=by_i(block_q),
+        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=arb3,
+        interpret=interpret,
+    )(lens, qf, dof, lsef, deltaf, kf, vf)
+
+    # dK/dV: key blocks on grid axis 1, q/do/lse/delta streamed on axis 2.
+    # Causal clamps the q-side maps at this key block's FIRST needed q
+    # block, so earlier (strictly-below-diagonal) q blocks never DMA.
+    if causal:
+        def q_map(bh, i, j):
+            start = (i * block_k) // block_q
+            return (bh, jnp.maximum(j, start), 0)
+    else:
+        def q_map(bh, i, j):
+            return (bh, j, 0)
+
+    def q_spec(width):
+        return pl.BlockSpec((None, block_q, width), q_map,
+                            memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_stream_kernel, block_q=block_q, block_k=block_k,
+            num_q=num_q, causal=causal, sm_scale=sm_scale,
+        ),
+        grid=(BH, num_k, num_q),
+        in_specs=[lens_spec, by_i(block_k), by_i(block_k),
+                  q_spec(D), q_spec(D), q_spec(1), q_spec(1)],
+        out_specs=[by_i(block_k), by_i(block_k)],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=arb3,
+        interpret=interpret,
+    )(lens, kf, vf, qf, dof, lsef, deltaf)
+
+    def unpad(x):
+        return x.reshape(B, H, T_pad, D)[:, :, :T, :]
+
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
 def _flash_backward(q, k, v, key_lens, lse, out, g, causal, sm_scale,
                     interpret):
     B, H, T, D = q.shape
+    if _round_up(T, _STREAM_BLOCK) >= _STREAM_THRESHOLD:
+        return _flash_backward_streaming(
+            q, k, v, key_lens, lse, out, g, causal, sm_scale, interpret
+        )
     block_q = _block_for(T)
     block_k = block_q
     T_pad = _round_up(T, block_q)

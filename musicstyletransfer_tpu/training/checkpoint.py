@@ -64,6 +64,61 @@ def checkpoint_path(model_folder: str, index: int) -> str:
     return os.path.abspath(os.path.join(model_folder, f"params.{index}"))
 
 
+def _dist_state():
+    """The jax.distributed coordination state, or None.
+
+    NOT ``jax.process_count()``: that consults the DEFAULT backend, which
+    under the axon TPU plugin is the single-process tunnel even when the
+    actual multi-process world is the gloo CPU fleet (jax.process_count()
+    == 1 while jax.process_count(backend="cpu") == 2 — measured; this is
+    also why orbax's own multihost machinery silently no-ops here and
+    cannot be relied on)."""
+    try:
+        from jax._src import distributed
+
+        gs = distributed.global_state
+        if gs.client is not None and (gs.num_processes or 1) > 1:
+            return gs
+    except Exception:
+        pass
+    return None
+
+
+def _multiprocess() -> bool:
+    return _dist_state() is not None
+
+
+def _dist_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    gs = _dist_state()
+    if gs is not None:
+        gs.client.wait_at_barrier(name, timeout_ms)
+
+
+def _gather_to_host(tree):
+    """Fully replicate every sharded leaf over its mesh, then fetch.
+
+    COLLECTIVE: every process must call this with the same tree. The
+    ``out_shardings``-only jitted identity compiles to XLA all-gathers
+    over ICI/DCN; afterwards each leaf is fully replicated, so a plain
+    host fetch is legal on every process. This trades checkpoint memory
+    O(full model per host) — the right trade at this framework's model
+    scale — for independence from orbax's multihost protocol (see
+    _dist_state: jax.process_count() is wrong under the axon plugin, and
+    orbax keys all its barriers and primary-election off it)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def one(x):
+        if isinstance(x, jax.Array) and not x.sharding.is_fully_replicated:
+            mesh = x.sharding.mesh
+            x = jax.jit(
+                lambda a: a,
+                out_shardings=NamedSharding(mesh, PartitionSpec()),
+            )(x)
+        return jax.device_get(x)
+
+    return jax.tree.map(one, tree)
+
+
 def save_checkpoint(
     model_folder: str,
     index: int,
@@ -77,15 +132,47 @@ def save_checkpoint(
     longer stall the device. Call ``checkpointer.wait_until_finished()``
     before relying on the files (the Trainer does this on exit and before
     any restore). Without one, the save blocks until durable (simple API).
+
+    Multi-process runs (a live jax.distributed world): this is a
+    COLLECTIVE — every process must call it with its (sharded) state.
+    Sharded leaves (incl. TP-across-processes params, which the r02
+    primary-only save could not handle) are all-gathered to full
+    replication over their mesh, then the distributed-world primary writes
+    one ordinary checkpoint. Orbax's own multihost protocol is NOT used:
+    it keys everything off jax.process_count(), which is wrong under the
+    axon plugin (see _dist_state).
     """
     path = checkpoint_path(model_folder, index)
     own = checkpointer is None
     ckptr = ocp.StandardCheckpointer() if own else checkpointer
     ckptr.wait_until_finished()  # at most one save in flight
+    import shutil
+
+    if _multiprocess():
+        gs = _dist_state()
+        host_tree = {
+            "step": np.asarray(jax.device_get(state.step)),
+            "params": _gather_to_host(state.params),
+            "opt_state": _gather_to_host(state.opt_state),
+            "rng": np.asarray(
+                jax.device_get(jax.random.key_data(state.rng))
+            ),
+        }
+        if gs.process_id == 0:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ckptr.save(path, host_tree)
+            if own:
+                ckptr.wait_until_finished()
+        if own:
+            # Synchronous semantics: every process returns only once the
+            # checkpoint is durable (a non-primary might restore it next).
+            _dist_barrier(f"mst-ckpt-durable-{index}")
+        # Async (caller-owned checkpointer): non-primaries proceed; the
+        # primary's at-most-one-in-flight discipline bounds staleness.
+        return
     # Orbax wants the target dir to not exist.
     if os.path.exists(path):
-        import shutil
-
         shutil.rmtree(path)
     ckptr.save(path, {
         "step": np.asarray(state.step),
@@ -113,9 +200,33 @@ def _impl_for_key_data(shape, template_rng):
     return by_width[width]
 
 
+def _host_template(tree):
+    """Host-array restore target mirroring a (possibly sharded) template.
+
+    device_get of a non-fully-replicated multi-process array is illegal,
+    so sharded leaves become ShapeDtypeStructs (orbax reads the full value
+    from disk on every process)."""
+    def one(x):
+        if isinstance(x, jax.Array) and not getattr(
+            x.sharding, "is_fully_addressable", True
+        ):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree.map(one, tree)
+
+
 def restore_checkpoint(
     model_folder: str, index: int, template: TrainState
 ) -> TrainState:
+    """Restore params.{index} into the template's structure.
+
+    Multi-process: collective — call from every process with the SHARDED
+    template. Every process reads the full host values from the shared
+    filesystem (the save wrote fully-gathered arrays), then places its own
+    shards per the template's shardings (global_device_put), so the result
+    needs no re-shard.
+    """
     path = checkpoint_path(model_folder, index)
     ckptr = ocp.StandardCheckpointer()
     # rng: take shape/dtype from the CHECKPOINT (impls differ in key-data
@@ -123,17 +234,39 @@ def restore_checkpoint(
     # default impl.
     meta = ckptr.metadata(path).item_metadata
     rng_meta = meta["rng"]
-    target = {
-        "step": np.asarray(template.step),
-        "params": jax.device_get(template.params),
-        "opt_state": jax.device_get(template.opt_state),
-        "rng": jax.ShapeDtypeStruct(rng_meta.shape, rng_meta.dtype),
-    }
+    multi = _multiprocess()
+    if multi:
+        target = {
+            "step": np.asarray(jax.device_get(template.step)),
+            "params": _host_template(template.params),
+            "opt_state": _host_template(template.opt_state),
+            "rng": jax.ShapeDtypeStruct(rng_meta.shape, rng_meta.dtype),
+        }
+    else:
+        target = {
+            "step": np.asarray(template.step),
+            "params": jax.device_get(template.params),
+            "opt_state": jax.device_get(template.opt_state),
+            "rng": jax.ShapeDtypeStruct(rng_meta.shape, rng_meta.dtype),
+        }
     restored = ckptr.restore(path, target)
+    params, opt_state = restored["params"], restored["opt_state"]
+    if multi:
+        from ..parallel.distributed import global_device_put
+
+        def place(host_tree, tmpl_tree):
+            return jax.tree.map(
+                lambda h, t: global_device_put(h, t.sharding)
+                if isinstance(t, jax.Array) else h,
+                host_tree, tmpl_tree,
+            )
+
+        params = place(params, template.params)
+        opt_state = place(opt_state, template.opt_state)
     return TrainState(
         step=jax.numpy.asarray(restored["step"]),
-        params=restored["params"],
-        opt_state=restored["opt_state"],
+        params=params,
+        opt_state=opt_state,
         rng=jax.random.wrap_key_data(
             jax.numpy.asarray(restored["rng"]),
             impl=_impl_for_key_data(rng_meta.shape, template.rng),

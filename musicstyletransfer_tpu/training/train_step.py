@@ -196,6 +196,11 @@ def make_train_step(
                 return fn(state, metric_acc, *inputs)
         return fn(state, metric_acc, *inputs)
 
+    # Expose the underlying jitted stages so perf tooling (scripts/
+    # mfu-sweep.py) can .lower().compile().cost_analysis() the exact
+    # program the trainer runs.
+    run.jitted = jitted
+    run.jitted_raw = jitted_raw
     return run
 
 

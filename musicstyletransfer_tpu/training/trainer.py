@@ -376,12 +376,13 @@ class Trainer:
         self._last_ckpt_batches = self.progress.n_batches
         self.progress.n_checkpoints += 1
         print(f"\nCheckpoint {self.progress.n_checkpoints} reached.")
+        # Multi-process: save_checkpoint is a COLLECTIVE — every process
+        # serializes its own addressable shards (orbax multihost), which
+        # makes TP-across-processes states checkpoint correctly. Only the
+        # primary writes the JSON bookkeeping and prunes.
+        ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints,
+                             self.state, checkpointer=self.checkpointer)
         if self.dist is None or self.dist.is_primary:
-            # Multi-process: the primary writes; with DP the params are
-            # replicated so its host copy is complete. (Cross-process TP
-            # checkpointing would need orbax multihost—documented limit.)
-            ckpt.save_checkpoint(model_folder, self.progress.n_checkpoints,
-                                 self.state, checkpointer=self.checkpointer)
             self.progress.save(model_folder)
             if self.config.keep_checkpoints > 0:
                 # +1: the newest save may still be in flight (uncommitted),
@@ -432,7 +433,11 @@ class Trainer:
                 print(f"Checkpoint {latest} could not be restored ({exc}); "
                       "starting training from scratch")
         if restored:
-            if self.mesh is not None:
+            if self.mesh is not None and not ckpt._multiprocess():
+                # Single-process mesh: the restore produced host arrays;
+                # place them. Multi-process restore is collective and
+                # already returned globally-sharded arrays (device_get of
+                # a non-addressable shard would throw here).
                 self.state = shard_train_state(self.state, self.mesh)
             try:
                 self.progress = ckpt.TrainingProgress.load(model_folder)

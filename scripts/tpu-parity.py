@@ -165,6 +165,69 @@ def main() -> None:
             )
         print("OK flash attention fwd+bwd parity (Mosaic vs XLA, bf16)")
 
+        # 5. STREAMING flash attention (T >= 8192: K/V blocks DMA from HBM,
+        # accumulators in scratch — a different Mosaic program than #4).
+        Bs, Hs, Ts = 2, 2, 8192
+        r3 = np.random.default_rng(2)
+        qs, ks, vs = (
+            jnp.asarray(r3.normal(size=(Bs, Hs, Ts, D)).astype(np.float32),
+                        jnp.bfloat16)
+            for _ in range(3)
+        )
+        lens_s = jnp.asarray([Ts, Ts // 3], jnp.int32)
+        out_s = flash_attention(qs, ks, vs, lens_s, causal=True)
+        out_sr = reference_attention(qs, ks, vs, lens_s, True, D ** -0.5)
+        for b in range(Bs):
+            L = int(lens_s[b])
+            np.testing.assert_allclose(
+                np.asarray(out_s[b, :, :L], np.float32),
+                np.asarray(out_sr[b, :, :L], np.float32),
+                atol=5e-2,
+            )
+        qmask_s = (
+            jnp.arange(Ts)[None, None, :, None]
+            < lens_s[:, None, None, None]
+        ).astype(jnp.bfloat16)
+
+        def loss_flash_s(q, k, v):
+            out = flash_attention(q, k, v, lens_s, causal=True)
+            return jnp.sum((out * qmask_s).astype(jnp.float32))
+
+        def loss_ref_s(q, k, v):
+            out = reference_attention(q, k, v, lens_s, True, D ** -0.5)
+            return jnp.sum((out * qmask_s).astype(jnp.float32))
+
+        gf = jax.jit(jax.grad(loss_flash_s, argnums=(0, 1, 2)))(qs, ks, vs)
+        gr = jax.jit(jax.grad(loss_ref_s, argnums=(0, 1, 2)))(qs, ks, vs)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0.1, atol=0.1,
+            )
+        print("OK streaming flash attention fwd+bwd parity (T=8192)")
+
+        # 6. beam search compiled on hardware: beam_size=1 must reduce to
+        # greedy decode (identical decode_step logits -> same argmax), and
+        # a wider beam must be well-formed with non-increasing best scores.
+        from musicstyletransfer_tpu.inference.decode import decode_beam
+
+        b_seqs, b_scores = decode_beam(model, params, z, classes, T, 1)
+        g_seqs, _ = decode_sampled(
+            model, params, z, classes, T, jax.random.key(0), greedy=True,
+            use_fused=False,
+        )
+        agree_b = float(np.mean(np.asarray(b_seqs) == np.asarray(g_seqs)))
+        assert agree_b >= 0.95, f"beam-1 vs greedy agreement {agree_b:.2%}"
+        w_seqs, w_scores = decode_beam(model, params, z, classes, T, 4)
+        w = np.asarray(w_seqs)
+        assert w.min() >= 0 and w.max() < 293
+        assert (w[:, 0] == SOS_ID).all()
+        assert np.isfinite(np.asarray(w_scores)).all()
+        # The best-of-4 cumulative score can't be worse than beam-1's.
+        assert (np.asarray(w_scores) <= np.asarray(b_scores) + 1e-3).all()
+        print(f"OK beam search on hardware (K=1≡greedy {agree_b:.1%}, "
+              "K=4 well-formed, scores dominate)")
+
     print("ALL TPU PARITY CHECKS PASSED")
 
 

@@ -28,5 +28,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 256 \
 --d-dropout 0.1 \
 --use-flash-attention \
---remat \
 "$@"
+# --remat removed in round 3: the measured sweep (scripts/mfu-sweep.py)
+# shows remat costs 23-29% at this size — activations fit HBM, recompute
+# buys nothing. Pass --remat yourself for bigger variants that OOM.

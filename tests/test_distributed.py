@@ -155,3 +155,38 @@ class TestTwoProcessTraining:
             a["mean_total_loss"], vals["total_loss"], rtol=1e-4
         )
         np.testing.assert_allclose(a["param_checksum"], checksum, rtol=1e-4)
+
+
+class TestTPCheckpointAcrossProcesses:
+    """VERDICT r02 item 5: multi-process TP states must checkpoint and
+    restore bitwise through orbax's collective multihost protocol."""
+
+    def test_tp2_save_restore_bitwise(self, tmp_path):
+        folder = str(tmp_path / "tp-ckpt")
+        os.makedirs(folder, exist_ok=True)
+        port = _free_port()
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        worker = os.path.join(REPO, "tests", "dist_ckpt_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), f"localhost:{port}",
+                 folder],
+                env=env, cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE, text=True,
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"ckpt worker failed:\n{out}\n{err}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        for o in outs:
+            assert o["model_axis_spans_processes"], o
+            assert o["params_match"], o
+            assert o["opt_match"], o
+            assert o["step_match"], o
+            assert o["rng_match"], o
+        # one durable checkpoint on disk
+        assert os.path.isdir(os.path.join(folder, "params.1"))

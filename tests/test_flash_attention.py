@@ -149,3 +149,94 @@ class TestFlashBackwardPallas:
         assert np.all(np.isfinite(np.asarray(gq)))
         np.testing.assert_array_equal(np.asarray(gk)[1], 0.0)
         np.testing.assert_array_equal(np.asarray(gv)[1], 0.0)
+
+
+class TestFlashStreaming:
+    """HBM-streaming K/V path (T >= _STREAM_THRESHOLD on hardware).
+
+    Interpreter runs shrink the block/threshold via monkeypatch so the
+    multi-block accumulation, causal index-map clamping, and padding
+    masking are all exercised at CPU-feasible sizes.
+    """
+
+    @pytest.fixture()
+    def small_stream(self, monkeypatch):
+        import importlib
+
+        fa = importlib.import_module(
+            "musicstyletransfer_tpu.ops.flash_attention"
+        )
+        monkeypatch.setattr(fa, "_STREAM_THRESHOLD", 128)
+        monkeypatch.setattr(fa, "_STREAM_BLOCK", 64)
+        return fa
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("T", [128, 200, 256])
+    def test_forward_matches_reference(self, small_stream, causal, T):
+        q, k, v = _inputs(T=T)
+        lens = jnp.asarray([T, max(T * 2 // 3, 1)], jnp.int32)
+        ref = reference_attention(q, k, v, lens, causal, 1 / np.sqrt(16))
+        out = flash_attention(q, k, v, lens, causal, None, True)
+        for b in range(2):
+            L = int(lens[b])
+            np.testing.assert_allclose(
+                np.asarray(out)[b, :, :L],
+                np.asarray(ref)[b, :, :L],
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"b={b} causal={causal} T={T}",
+            )
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_reference(self, small_stream, causal):
+        T = 192
+        q, k, v = _inputs(T=T)
+        lens = jnp.asarray([T, 100], jnp.int32)
+
+        def lf(q, k, v):
+            o = flash_attention(q, k, v, lens, causal, None, True)
+            return jnp.sum(jnp.cos(o[:, :, :100]) ** 2)
+
+        def lr(q, k, v):
+            o = reference_attention(q, k, v, lens, causal, 1 / np.sqrt(16))
+            return jnp.sum(jnp.cos(o[:, :, :100]) ** 2)
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4,
+                err_msg=f"d{name} causal={causal}",
+            )
+
+    def test_zero_length_rows(self, small_stream):
+        q, k, v = _inputs(T=128)
+        lens = jnp.asarray([64, 0], jnp.int32)
+        out = flash_attention(q, k, v, lens, False, None, True)
+        assert np.all(np.isfinite(np.asarray(out)))
+        np.testing.assert_array_equal(np.asarray(out)[1], 0.0)
+
+        def lf(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, lens, True, None, True))
+
+        gq, gk, gv = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        assert np.all(np.isfinite(np.asarray(gq)))
+        np.testing.assert_array_equal(np.asarray(gk)[1], 0.0)
+        np.testing.assert_array_equal(np.asarray(gv)[1], 0.0)
+
+    def test_streaming_selected_above_threshold(self, small_stream):
+        """The dispatcher must route T >= threshold through streaming."""
+        called = {}
+        orig = small_stream._flash_forward_streaming
+
+        def spy(*a, **kw):
+            called["yes"] = True
+            return orig(*a, **kw)
+
+        small_stream._flash_forward_streaming = spy
+        try:
+            q, k, v = _inputs(T=130)
+            lens = jnp.asarray([130, 64], jnp.int32)
+            small_stream.flash_attention(q, k, v, lens, True, None, True)
+        finally:
+            small_stream._flash_forward_streaming = orig
+        assert called.get("yes")

@@ -141,3 +141,65 @@ class TestService:
         )
         with pytest.raises(ValueError, match="no note events"):
             svc.submit_midi(empty)
+
+
+class TestServiceStats:
+    def test_stats_snapshot_counts_and_latency(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8, max_wait_ms=20)
+        svc.start()
+        got = []
+        try:
+            for i in range(5):
+                svc.enqueue(_midi_bytes((60 + i,)), got.append)
+            deadline = __import__("time").time() + 60
+            while len(got) < 5 and __import__("time").time() < deadline:
+                __import__("time").sleep(0.05)
+        finally:
+            svc.stop()
+        s = svc.stats.snapshot()
+        assert s["requests_served"] == 5
+        assert s["batches"] >= 2  # batch_size 4 can't fit 5 in one
+        assert 0 < s["latency_p50_ms"] <= s["latency_p99_ms"]
+        assert s["latency_p99_ms"] <= s["latency_max_ms"]
+        assert 0 < s["mean_batch_fill"] <= 4
+
+    def test_percentile_nearest_rank(self):
+        from musicstyletransfer_tpu.inference.service import _percentile
+
+        vals = sorted(float(i) for i in range(1, 101))
+        assert _percentile(vals, 50) == 51.0
+        assert _percentile(vals, 99) == 100.0
+        assert _percentile([], 50) == 0.0
+        assert _percentile([7.0], 99) == 7.0
+
+
+class TestServiceBuckets:
+    def test_bucket_pick_and_shapes(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8, buckets=[4, 8])
+        short = svc._tokens_from_midi(_midi_bytes((60,)))[:3]
+        long = svc._tokens_from_midi(_midi_bytes((60, 62, 64)))[:8]
+        assert svc._pick_bucket([short]) == 4
+        assert svc._pick_bucket([short, long]) == 8
+        # Short-only batch decodes at the small bucket's budget.
+        r_short = svc.transfer_tokens([short])
+        r_long = svc.transfer_tokens([long])
+        assert len(r_short) == 1 and len(r_long) == 1
+        for r in (r_short[0], r_long[0]):
+            assert set(r.midi_by_class) == {0, 1, 2}
+        short_len = max(
+            len(t) for t in r_short[0].tokens_by_class.values()
+        )
+        assert short_len <= 2 * (4 + 1)  # small-bucket generation cap
+
+    def test_bucket_validation(self, model_folder):
+        from musicstyletransfer_tpu.inference.service import StyleTransferService
+
+        with pytest.raises(ValueError):
+            StyleTransferService(model_folder, checkpoint=-1, batch_size=2,
+                                 max_seq_len=8, buckets=[4, 16])
