@@ -203,3 +203,28 @@ class TestServiceBuckets:
         with pytest.raises(ValueError):
             StyleTransferService(model_folder, checkpoint=-1, batch_size=2,
                                  max_seq_len=8, buckets=[4, 16])
+
+
+class TestServeCLI:
+    def test_one_shot_with_buckets_and_stats(self, model_folder, tmp_path,
+                                             capsys):
+        from musicstyletransfer_tpu.cli import serve
+
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        for i in range(3):
+            (in_dir / f"req{i}.mid").write_bytes(_midi_bytes((60 + i,)))
+        serve.main([
+            "--model-output", model_folder, "--checkpoint", "-1",
+            "--in-dir", str(in_dir), "--out-samples", str(out_dir),
+            "--batch-size", "4", "--max-seq-len", "8",
+            "--buckets", "4,8", "--stats", "--cpu",
+        ])
+        outs = sorted(p.name for p in out_dir.iterdir())
+        # 3 inputs x 3 classes
+        assert len(outs) == 9, outs
+        assert "req0.class-0.mid" in outs
+        captured = capsys.readouterr().out
+        assert "stats: served=3" in captured
+        assert "p99=" in captured
