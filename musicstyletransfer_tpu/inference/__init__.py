@@ -1,5 +1,6 @@
 from .decode import beam_search, decode_beam, decode_sampled, sample_sequences
 from .sampler import BeamSearchSampler, Sampling, SamplerBase, get_sampler, load_inference_model
+from .service import ServiceStats, StyleTransferService, TransferResult
 from .sharded import (
     prepare_params,
     sharded_sample_sequences,
@@ -16,6 +17,9 @@ __all__ = [
     "SamplerBase",
     "get_sampler",
     "load_inference_model",
+    "ServiceStats",
+    "StyleTransferService",
+    "TransferResult",
     "prepare_params",
     "sharded_sample_sequences",
     "sharded_style_transfer_all_classes",

@@ -138,6 +138,7 @@ def measure(device, B: int, remat: bool, mu_dtype: str, L: int = 512,
     fl = analytic_flops_per_step(B, L)
     return {
         "batch": B,
+        "L": L,
         "remat": remat,
         "mu_dtype": mu_dtype,
         "flash_min": flash_min,
@@ -159,12 +160,13 @@ def main():
     device = _pick_device()
     print(f"# device: {device}", flush=True)
     if len(sys.argv) > 1:
-        # Single-config mode: mfu-sweep.py B remat(0/1) mu flash_min
+        # Single-config mode: mfu-sweep.py B remat(0/1) mu flash_min L
         B = int(sys.argv[1])
         remat = sys.argv[2] not in ("0", "false", "False")
         mu = sys.argv[3] if len(sys.argv) > 3 else "f32"
         fmin = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
-        print(json.dumps(measure(device, B, remat, mu, flash_min=fmin)),
+        L = int(sys.argv[5]) if len(sys.argv) > 5 else 512
+        print(json.dumps(measure(device, B, remat, mu, L=L, flash_min=fmin)),
               flush=True)
         return
     results = []

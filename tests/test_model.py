@@ -234,3 +234,42 @@ class TestRemat:
         # ~n_steps*lr; bound params by that envelope.
         for x, y in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=4.5e-3)
+
+
+class TestOneHotEmbedding:
+    def test_onehot_lookup_exact_vs_gather(self):
+        """The MXU one-hot embedding lookup must be bit-exact vs nn.Embed's
+        gather: each output row multiplies the table by 1.0 exactly once
+        with f32 accumulation (models/vae.py:_embed_tokens_mxu). The decode
+        step path keeps the gather, so batched-forward == incremental-decode
+        (test_step_matches_batched_forward) also rests on this."""
+        import flax.linen as nn
+
+        from musicstyletransfer_tpu.models.vae import _embed_tokens_mxu
+
+        emb = nn.Embed(293, 128, dtype=jnp.float32)
+        variables = emb.init(jax.random.key(0), jnp.zeros((1,), jnp.int32))
+        tokens = jax.random.randint(jax.random.key(1), (4, 37), 0, 293)
+
+        def via_onehot(v, t):
+            return _embed_tokens_mxu(emb.bind(v), t, jnp.float32)
+
+        def via_gather(v, t):
+            return emb.apply(v, t)
+
+        got = jax.jit(via_onehot)(variables, tokens)
+        want = jax.jit(via_gather)(variables, tokens)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        # Gradients w.r.t. the table must agree too (the backward is a
+        # one_hot^T @ g matmul vs the gather's scatter-add).
+        def loss(fn):
+            def f(v):
+                out = fn(v, tokens)
+                return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+            return jax.grad(f)(variables)
+
+        g0 = jax.tree.leaves(loss(via_onehot))[0]
+        g1 = jax.tree.leaves(loss(via_gather))[0]
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-6, atol=1e-4)
