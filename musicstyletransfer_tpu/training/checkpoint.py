@@ -137,10 +137,21 @@ def save_checkpoint(
     COLLECTIVE — every process must call it with its (sharded) state.
     Sharded leaves (incl. TP-across-processes params, which the r02
     primary-only save could not handle) are all-gathered to full
-    replication over their mesh, then the distributed-world primary writes
-    one ordinary checkpoint. Orbax's own multihost protocol is NOT used:
-    it keys everything off jax.process_count(), which is wrong under the
-    axon plugin (see _dist_state).
+    replication over their mesh, then one ordinary checkpoint is written.
+    Two sub-cases, keyed off whether orbax's own multihost machinery is
+    live (it consults ``jax.process_count()``, i.e. the DEFAULT backend):
+
+    - Honest world view (real pods; CPU fleets with jax_platforms forced):
+      ``jax.process_count() == world size``, so orbax's save() is itself a
+      collective with primary-writes-alone baked in — every process calls
+      it. Primary-only calling would DEADLOCK here (the primary waits in
+      orbax's sync_global_processes while non-primaries wait at our
+      barrier — observed on the 2-process CPU harness).
+    - Skewed default backend (axon plugin keeps priority: process_count()
+      == 1 while the gloo world is larger, see _dist_state): orbax's
+      barriers all no-op, so the distributed-world primary writes an
+      ordinary single-process checkpoint and the others wait at an
+      explicit coordination-service barrier.
     """
     path = checkpoint_path(model_folder, index)
     own = checkpointer is None
@@ -158,6 +169,17 @@ def save_checkpoint(
                 jax.device_get(jax.random.key_data(state.rng))
             ),
         }
+        if jax.process_count() == (gs.num_processes or 1):
+            # Orbax's multihost protocol is live: its save is collective.
+            # Clear any stale target on the primary, fence, then every
+            # process enters the collective save together.
+            if gs.process_id == 0 and os.path.exists(path):
+                shutil.rmtree(path)
+            _dist_barrier(f"mst-ckpt-clear-{index}")
+            ckptr.save(path, host_tree)
+            if own:
+                ckptr.wait_until_finished()
+            return
         if gs.process_id == 0:
             if os.path.exists(path):
                 shutil.rmtree(path)

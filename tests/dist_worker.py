@@ -22,6 +22,10 @@ def main() -> None:
 
     import jax
 
+    # Env alone does not stop the axon plugin's sitecustomize override —
+    # force the config so the worker never dials the TPU tunnel.
+    jax.config.update("jax_platforms", "cpu")
+
     from musicstyletransfer_tpu.parallel import (
         ProcessShardedDataset,
         initialize_distributed,
