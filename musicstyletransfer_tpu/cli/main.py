@@ -171,8 +171,9 @@ def main_toy(args, epochs: int = 20000) -> None:
 def main(argv=None) -> None:
     args = get_config(argv)
 
-    from ..utils import configure_jax_cache
+    from ..utils import configure_jax_cache, respect_platforms_env
 
+    respect_platforms_env()
     configure_jax_cache(
         suffix=(f"-proc{args.dist_process_id}" if args.dist_coordinator
                 else "")

@@ -14,10 +14,13 @@ from .flags import get_config
 
 
 def _setup_jax(args) -> None:
-    """Compile cache + optional CPU pin (the axon TPU plugin registers even
-    under JAX_PLATFORMS=cpu, so --cpu must pin the default device)."""
-    from ..utils import configure_jax_cache, pin_local_cpu
+    """Honor JAX_PLATFORMS, enable the compile cache, optional CPU pin
+    (--cpu pins the default device without dropping other backends)."""
+    from ..utils import (
+        configure_jax_cache, pin_local_cpu, respect_platforms_env,
+    )
 
+    respect_platforms_env()
     configure_jax_cache()
     if getattr(args, "cpu", False):
         pin_local_cpu()

@@ -46,8 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    from ..utils import configure_jax_cache, pin_local_cpu
+    from ..utils import (
+        configure_jax_cache, pin_local_cpu, respect_platforms_env,
+    )
 
+    respect_platforms_env()
     configure_jax_cache()
     if args.cpu:
         pin_local_cpu()

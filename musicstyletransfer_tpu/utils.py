@@ -12,6 +12,26 @@ import pprint
 from typing import Optional
 
 
+def respect_platforms_env() -> None:
+    """Re-assert the user's ``JAX_PLATFORMS`` env var over plugin overrides.
+
+    Force-registering PJRT plugins (the axon TPU tunnel here) rewrite the
+    ``jax_platforms`` CONFIG at interpreter startup, so
+    ``JAX_PLATFORMS=cpu python -m musicstyletransfer_tpu.cli.main`` would
+    silently run on the TPU. Every CLI entry point calls this first: if
+    the env var is set and disagrees with the live config, the env wins.
+    No-op (and safe) when the env var is unset or backends already match.
+    """
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and jax.config.jax_platforms != want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backends already initialized: keep running
+
+
 def pin_local_cpu() -> None:
     """Pin JAX's default device to a LOCAL CPU device (the CLIs' --cpu).
 
