@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="per-dimension KL floor (posterior-collapse guard)")
     tpu.add_argument("--remat", action="store_true",
                      help="rematerialize transformer layers in backward")
+    tpu.add_argument("--ring-attention", action="store_true",
+                     help="sequence-parallel ring attention: shard the time "
+                          "axis over the mesh's model axis and rotate K/V "
+                          "chunks via ppermute (with --tp N carrying the "
+                          "ring; pick max-seq-len so L+2 divides N)")
     tpu.add_argument("--keep-checkpoints", type=int, default=0,
                      help="retain only the newest N checkpoints (0 = all)")
     tpu.add_argument("--rng-impl", default="rbg",

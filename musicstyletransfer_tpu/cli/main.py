@@ -40,6 +40,8 @@ def create_model_config(args, dataset) -> ModelConfig:
                 num_heads=args.e_num_heads,
                 use_flash_attention=args.use_flash_attention,
                 remat=args.remat,
+                ring_attention=args.ring_attention,
+                sequence_sharding=args.ring_attention,
             ),
             latent_dim=args.latent_dim,
             num_classes=dataset.num_classes(),
@@ -54,6 +56,8 @@ def create_model_config(args, dataset) -> ModelConfig:
                 num_heads=args.e_num_heads,
                 use_flash_attention=args.use_flash_attention,
                 remat=args.remat,
+                ring_attention=args.ring_attention,
+                sequence_sharding=args.ring_attention,
             ),
             latent_dim=args.latent_dim,
             num_classes=dataset.num_classes(),

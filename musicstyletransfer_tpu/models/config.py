@@ -97,6 +97,14 @@ class TransformerConfig(Config):
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.
     sequence_sharding: bool = False
+    # Ring attention (ops/ring_attention.py): compute attention itself
+    # sequence-parallel — K/V chunks rotate over the mesh's "model" axis via
+    # ppermute, no device holds full K/V. Engages when a mesh with a >1
+    # "model" axis is active and T divides it; otherwise falls through to
+    # flash/dense. Intended for long-sequence configs together with
+    # sequence_sharding (the model axis then carries time, not heads — do
+    # not combine with tensor parallelism on the same axis).
+    ring_attention: bool = False
     # Rematerialize each transformer layer in backward (jax.checkpoint):
     # trades recompute FLOPs for activation memory — the right trade for
     # long-sequence training on TPU where HBM is the constraint.

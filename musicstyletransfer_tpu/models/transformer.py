@@ -85,6 +85,7 @@ class MultiHeadSelfAttention(nn.Module):
     use_flash: bool = False
     # Flash only pays off past this length (measured; see TransformerConfig).
     flash_min_seq_len: int = 1024
+    use_ring: bool = False
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
@@ -98,12 +99,39 @@ class MultiHeadSelfAttention(nn.Module):
     def _heads(self, x: jax.Array) -> jax.Array:
         return x.reshape(*x.shape[:-1], self.num_heads, self.head_dim)
 
+    def _ring_eligible(self, x: jax.Array) -> bool:
+        """Ring attention engages only on a live mesh whose "model" axis
+        divides both the time and batch axes (see TransformerConfig)."""
+        if not self.use_ring:
+            return False
+        from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, current_mesh
+
+        mesh = current_mesh()
+        return (
+            mesh is not None
+            and AXIS_MODEL in mesh.shape
+            and mesh.shape[AXIS_MODEL] > 1
+            and x.shape[1] % mesh.shape[AXIS_MODEL] == 0
+            and x.shape[0] % mesh.shape.get(AXIS_DATA, 1) == 0
+        )
+
     def __call__(self, x: jax.Array, key_mask: jax.Array) -> jax.Array:
         """x: [B, T, D]; key_mask: [B, T] True at valid (non-PAD) keys."""
         q = self._heads(self.w_q(x))
         k = self._heads(self.w_k(x))
         v = self._heads(self.w_v(x))
-        if self.use_flash and x.shape[1] >= self.flash_min_seq_len:
+        if self._ring_eligible(x):
+            from ..ops.ring_attention import ring_attention_sharded
+
+            key_lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+            out = ring_attention_sharded(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_lens,
+                causal=self.causal,
+            ).transpose(0, 2, 1, 3)
+        elif self.use_flash and x.shape[1] >= self.flash_min_seq_len:
             from ..ops.flash_attention import flash_attention, should_interpret
 
             interpret = should_interpret()
@@ -178,6 +206,7 @@ class TransformerLayer(nn.Module):
             causal=self.causal,
             use_flash=c.use_flash_attention,
             flash_min_seq_len=getattr(c, "flash_min_seq_len", 1024),
+            use_ring=getattr(c, "ring_attention", False),
             dtype=self.dtype,
         )
         self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")

@@ -515,8 +515,13 @@ def _dkv_kernel(
         mask = k_pos < valid_len
         if causal:
             mask = mask & (k_pos <= q_pos)
-        # Also mask padded query rows: their lse is garbage (-1e30).
-        mask = mask & (q_pos < valid_len)
+        # Drop query rows with NO visible keys: their lse is the -1e30
+        # sentinel and exp(s - lse) overflows. (Testing lse itself — not
+        # q_pos vs valid_len — keeps rows that are valid queries over a
+        # partial key set, which ring attention's off-diagonal chunk calls
+        # rely on: there q_pos indexes the QUERY chunk while valid_len
+        # counts the visiting KEY chunk.)
+        mask = mask & (lse > -1e29)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dv_new = dv + jax.lax.dot_general(
             p, doblk, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -663,7 +668,8 @@ def _dkv_stream_kernel(
         mask = k_pos < valid_len
         if causal:
             mask = mask & (k_pos <= q_pos)
-        mask = mask & (q_pos < valid_len)  # padded q rows: lse is garbage
+        # Zero-visible-key query rows only (lse sentinel) — see _dkv_kernel.
+        mask = mask & (lse_ref[:] > -1e29)
         p = jnp.where(mask, jnp.exp(s - lse_ref[:]), 0.0)
         dv_acc_ref[...] = dv_acc_ref[...] + jax.lax.dot_general(
             p, doblk, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -686,7 +692,7 @@ def _dkv_stream_kernel(
 
 
 def _flash_backward_streaming(q, k, v, key_lens, lse, out, g, causal,
-                              sm_scale, interpret):
+                              sm_scale, interpret, g_lse=None):
     B, H, T, D = q.shape
     block_q = block_k = _STREAM_BLOCK
     T_pad = _round_up(T, _STREAM_BLOCK)
@@ -695,9 +701,16 @@ def _flash_backward_streaming(q, k, v, key_lens, lse, out, g, causal,
         q, k, v, out, g = (jnp.pad(x, pad) for x in (q, k, v, out, g))
         lse = jnp.pad(lse, [(0, 0), (0, 0), (0, T_pad - T)],
                       constant_values=_NEG_INF)
+        if g_lse is not None:
+            g_lse = jnp.pad(g_lse, [(0, 0), (0, 0), (0, T_pad - T)])
 
     BH = B * H
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        # lse cotangent: d lse_i / d s_ij = p_ij, so the extra term
+        # g_lse_i * p_ij folds into the kernels' existing
+        # ds = p * (dp - delta) as delta' = delta - g_lse.
+        delta = delta - g_lse.astype(jnp.float32)
     qf, kf, vf, dof = (x.reshape(BH, T_pad, D) for x in (q, k, v, g))
     lsef = lse.reshape(BH, T_pad, 1)
     deltaf = delta.reshape(BH, T_pad, 1)
@@ -780,11 +793,12 @@ def _flash_backward_streaming(q, k, v, key_lens, lse, out, g, causal,
 
 
 def _flash_backward(q, k, v, key_lens, lse, out, g, causal, sm_scale,
-                    interpret):
+                    interpret, g_lse=None):
     B, H, T, D = q.shape
     if _round_up(T, _STREAM_BLOCK) >= _STREAM_THRESHOLD:
         return _flash_backward_streaming(
-            q, k, v, key_lens, lse, out, g, causal, sm_scale, interpret
+            q, k, v, key_lens, lse, out, g, causal, sm_scale, interpret,
+            g_lse=g_lse,
         )
     block_q = _block_for(T)
     block_k = block_q
@@ -794,9 +808,14 @@ def _flash_backward(q, k, v, key_lens, lse, out, g, causal, sm_scale,
         q, k, v, out, g = (jnp.pad(x, pad) for x in (q, k, v, out, g))
         lse = jnp.pad(lse, [(0, 0), (0, 0), (0, T_pad - T)],
                       constant_values=_NEG_INF)
+        if g_lse is not None:
+            g_lse = jnp.pad(g_lse, [(0, 0), (0, 0), (0, T_pad - T)])
 
     BH = B * H
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if g_lse is not None:
+        # See _flash_backward_streaming: delta' = delta - g_lse.
+        delta = delta - g_lse.astype(jnp.float32)
     qf, kf, vf, dof = (x.reshape(BH, T_pad, D) for x in (q, k, v, g))
     lsef = lse.reshape(BH, T_pad, 1)
     deltaf = delta.reshape(BH, T_pad, 1)
@@ -866,3 +885,54 @@ def _flash_bwd(causal, sm_scale, interpret, residuals, g):
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_lens: jax.Array,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+):
+    """Fused attention returning ``(out, lse)`` — both differentiable.
+
+    The per-row logsumexp output is what lets chunked/distributed callers
+    (ops/ring_attention.py) merge partial softmaxes exactly; its cotangent
+    is handled by folding ``g_lse`` into the backward kernels' ``delta``
+    (``ds = p * (dp - (delta - g_lse))``), so the gradient through a merged
+    combination is exact, not an approximation.
+
+    Shapes as ``flash_attention``: q, k, v [B, H, T, D]; key_lens [B];
+    lse [B, H, T] (f32; ``-1e30`` on fully-masked query rows).
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    return _flash_forward_with_lse(q, k, v, key_lens, causal, sm_scale,
+                                   interpret)
+
+
+def _flash_lse_fwd(q, k, v, key_lens, causal, sm_scale, interpret):
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    out, lse = _flash_forward_with_lse(
+        q, k, v, key_lens, causal, sm_scale, interpret
+    )
+    return (out, lse), (q, k, v, key_lens, lse, out)
+
+
+def _flash_lse_bwd(causal, sm_scale, interpret, residuals, cotangents):
+    q, k, v, key_lens, lse, out = residuals
+    g_out, g_lse = cotangents
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+    dq, dk, dv = _flash_backward(
+        q, k, v, key_lens, lse, out, g_out, causal, sm_scale, interpret,
+        g_lse=g_lse,
+    )
+    return dq, dk, dv, None
+
+
+flash_attention_with_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)

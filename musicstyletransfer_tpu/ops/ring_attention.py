@@ -1,0 +1,182 @@
+"""Ring attention: exact sequence-parallel attention over a mesh axis.
+
+The reference has no distribution and its longest-sequence answer is
+chunking melodies to ``--max-seq-len`` at tensorization time
+(reference: data.py:139-155; SURVEY.md §5.7). The single-chip TPU answer
+here is the streaming flash kernel (ops/flash_attention.py, T up to 32k+);
+THIS module is the multi-chip continuation: shard the TIME axis over the
+mesh's "model" axis and rotate K/V chunks around the ICI ring with
+``ppermute`` so no device ever materializes the full K/V — attention
+becomes exact sequence parallelism with O(T/n) memory per device.
+
+Mechanics (per ``shard_map``-mapped device holding a [B, H, T/n, D] chunk):
+
+- step 0 is ALWAYS the diagonal chunk (the K/V a device starts with is its
+  own), so causality there is the kernel's ordinary causal mask — no
+  per-step branching on ring position is ever needed;
+- steps 1..n-1 receive a strictly off-diagonal chunk which is either fully
+  visible (source chunk index < local index) or fully hidden (> local):
+  both cases are expressed through the kernel's dynamic ``key_lens``
+  argument. Hidden chunks resolve to 0 visible keys, for which the kernel
+  skips every K block — a masked ring step costs a ppermute and nothing
+  else;
+- per-step partials merge by exact logsumexp reweighting
+  (``out = sum_i out_i * exp(lse_i - LSE)``), in f32. The merge is
+  differentiable end-to-end because ``flash_attention_with_lse`` defines a
+  custom VJP for BOTH outputs (the lse cotangent folds into the backward
+  kernels' delta; ops/flash_attention.py).
+
+The gradient of ``ppermute`` is the inverse rotation, so jax.grad of the
+scanned ring is itself a ring — K/V cotangents travel back around the ICI
+ring without any hand-written collective.
+
+Memory note: reverse-mode saves the rotated K/V chunk per scan step
+(n * T/n = one full K/V copy per device, O(T·D) — linear, vs the O(T²)
+score tensor this replaces). A re-rotating backward could cut that to
+O(T/n); measured unnecessary at the sizes this serves.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, current_mesh
+from .flash_attention import flash_attention_with_lse, should_interpret
+
+import functools as _functools
+import inspect as _inspect
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map as _raw_shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+
+# The replication-checker kwarg was renamed check_rep -> check_vma across
+# jax versions; manual collectives inside (ppermute, pallas) need it off.
+_CHECK_KW = (
+    "check_vma"
+    if "check_vma" in _inspect.signature(_raw_shard_map).parameters
+    else "check_rep"
+)
+_shard_map = _functools.partial(_raw_shard_map, **{_CHECK_KW: False})
+
+
+def _merge(out1, lse1, out2, lse2):
+    """Exact combination of two normalized softmax partials, f32.
+
+    out_i: [B, H, Tl, D] (already normalized per chunk), lse_i: [B, H, Tl].
+    """
+    lse = jnp.logaddexp(lse1, lse2)
+    w1 = jnp.exp(lse1 - lse)[..., None]
+    w2 = jnp.exp(lse2 - lse)[..., None]
+    return out1 * w1 + out2 * w2, lse
+
+
+def ring_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_lens: jax.Array,
+    *,
+    causal: bool,
+    axis_name: str,
+    axis_size: int,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Ring attention body — call INSIDE shard_map.
+
+    q, k, v: [B, H, Tl, D] — this device's time chunk (global time axis is
+    ``axis_size * Tl``, chunk ``i`` on mesh position ``i``).
+    key_lens: [B] GLOBAL valid key counts (keys are a global prefix).
+    Returns [B, H, Tl, D] — the local chunk of the exact global attention.
+    """
+    n = axis_size
+    idx = jax.lax.axis_index(axis_name)
+    Tl = q.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+
+    def chunk_attn(k_c, v_c, chunk_lens, is_diagonal):
+        out, lse = flash_attention_with_lse(
+            q, k_c, v_c, chunk_lens,
+            causal and is_diagonal, sm_scale, interpret,
+        )
+        return out.astype(jnp.float32), lse
+
+    # Step 0: the diagonal chunk (own K/V) — ordinary causal mask inside.
+    lens0 = jnp.clip(key_lens - idx * Tl, 0, Tl)
+    out, lse = chunk_attn(k, v, lens0, True)
+
+    if n == 1:
+        return out.astype(q.dtype)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def ring_step(carry, s):
+        out, lse, k_c, v_c = carry
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        src = (idx - s) % n  # origin chunk of the K/V now on this device
+        vis = jnp.clip(key_lens - src * Tl, 0, Tl)
+        if causal:
+            # Off-diagonal: fully visible iff strictly earlier chunk.
+            vis = jnp.where(src < idx, vis, 0)
+        o_s, l_s = chunk_attn(k_c, v_c, vis, False)
+        out, lse = _merge(out, lse, o_s, l_s)
+        return (out, lse, k_c, v_c), None
+
+    (out, lse, _, _), _ = jax.lax.scan(
+        ring_step, (out, lse, k, v), jnp.arange(1, n)
+    )
+    return out.astype(q.dtype)
+
+
+def ring_attention_sharded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_lens: jax.Array,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    mesh=None,
+    seq_axis: str = AXIS_MODEL,
+    batch_axis: str = AXIS_DATA,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Jit-compatible wrapper: shard_map the ring over ``mesh``.
+
+    q, k, v: [B, H, T, D] (global); key_lens: [B]. The time axis is mapped
+    over ``seq_axis``, batch over ``batch_axis`` — GSPMD reshards the
+    operands into that layout if they arrive differently. Requires
+    T % mesh.shape[seq_axis] == 0 and B % mesh.shape[batch_axis] == 0.
+    """
+    if mesh is None:
+        mesh = current_mesh()
+    assert mesh is not None, "ring_attention_sharded needs a mesh"
+    n = mesh.shape[seq_axis]
+    assert q.shape[2] % n == 0, (q.shape, n)
+    assert q.shape[0] % mesh.shape[batch_axis] == 0, (q.shape, mesh.shape)
+    if interpret is None:
+        interpret = should_interpret()
+
+    qkv_spec = P(batch_axis, None, seq_axis, None)
+    body = functools.partial(
+        ring_flash_attention,
+        causal=causal,
+        axis_name=seq_axis,
+        axis_size=n,
+        sm_scale=sm_scale,
+        interpret=interpret,
+    )
+    return _shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch_axis)),
+        out_specs=qkv_spec,
+    )(q, k, v, key_lens)

@@ -16,6 +16,7 @@ from .distributed import (
     make_global_batch,
     mesh_process_info,
 )
+from .pipeline import pipeline_apply
 
 __all__ = [
     "AXIS_DATA",
@@ -29,6 +30,7 @@ __all__ = [
     "mesh_process_info",
     "param_shardings",
     "param_spec",
+    "pipeline_apply",
     "replicated",
     "shard_batch",
     "shard_params",

@@ -1,0 +1,152 @@
+"""Pipeline parallelism (GPipe-style) over a mesh axis.
+
+The reference has no distribution of any kind (SURVEY.md §2: single
+mx.Context). This framework's mesh covers data, tensor and sequence
+parallelism (mesh.py, ops/ring_attention.py); this module completes the
+sharding matrix with a PIPELINE primitive: a stack of identical stages is
+sharded one-stage-per-device over a mesh axis, and microbatches stream
+through the stages with activations hopping device-to-device via
+``ppermute`` — the TPU-native equivalent of NCCL send/recv stage wiring,
+expressed as one jitted SPMD program.
+
+Schedule: plain GPipe. M microbatches over S stages take M + S - 1 ticks;
+each tick every device applies its stage (devices in the bubble compute on
+garbage and their result is masked out), then activations rotate one hop.
+Reverse-mode autodiff works through the scan + ppermute (ppermute's
+transpose is the reverse rotation), so the same primitive trains — the
+backward pass is the mirrored pipeline, as in GPipe.
+
+Scope note: the VAE this framework ships is 1-4 layers deep — pipelining
+it is pointless (the bubble dominates), so the trainer does not use this
+path; it exists as the framework-level primitive, correctness-pinned by
+tests/test_pipeline.py (forward == sequential, grads == sequential) and
+compile-validated by the driver's multichip dryrun.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from .mesh import AXIS_MODEL
+
+import functools as _functools
+import inspect as _inspect
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map as _raw_shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _raw_shard_map
+
+# The replication-checker kwarg was renamed check_rep -> check_vma across
+# jax versions; manual collectives inside (ppermute, pallas) need it off.
+_CHECK_KW = (
+    "check_vma"
+    if "check_vma" in _inspect.signature(_raw_shard_map).parameters
+    else "check_rep"
+)
+_shard_map = _functools.partial(_raw_shard_map, **{_CHECK_KW: False})
+
+
+def _pipeline_body(
+    stage_params: Any,
+    x_mb: jax.Array,
+    *,
+    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    axis_name: str,
+    n_stages: int,
+):
+    """Inside shard_map: stage_params is THIS device's stage (leading axis
+    stripped to 1), x_mb is the full [M, mb, ...] microbatch stream
+    (replicated). Returns [M, mb, ...] outputs of the last stage
+    (valid on every device after the final broadcast hop)."""
+    idx = jax.lax.axis_index(axis_name)
+    params_local = jax.tree.map(lambda p: p[0], stage_params)
+    M = x_mb.shape[0]
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def tick(carry, t):
+        acts, outputs = carry
+        # Stage 0 ingests microbatch t (while it exists); others take the
+        # activation that just hopped in.
+        mb_in = x_mb[jnp.minimum(t, M - 1)]
+        h_in = jnp.where(idx == 0, mb_in, acts)
+        h_out = stage_fn(params_local, h_in)
+        # The LAST stage's result for microbatch t - (S-1) is ready when
+        # 0 <= t - S + 1 < M; collect it (masked elsewhere / in the bubble).
+        out_slot = t - (n_stages - 1)
+        valid = (out_slot >= 0) & (out_slot < M)
+        outputs = jax.lax.dynamic_update_index_in_dim(
+            outputs,
+            jnp.where(
+                valid & (idx == n_stages - 1),
+                h_out,
+                jax.lax.dynamic_index_in_dim(
+                    outputs, jnp.clip(out_slot, 0, M - 1), keepdims=False
+                ),
+            ),
+            jnp.clip(out_slot, 0, M - 1),
+            axis=0,
+        )
+        # Hop activations one stage forward.
+        acts = jax.lax.ppermute(h_out, axis_name, perm)
+        return (acts, outputs), None
+
+    acts0 = jnp.zeros_like(x_mb[0])
+    outputs0 = jnp.zeros_like(x_mb)
+    (_, outputs), _ = jax.lax.scan(
+        tick, (acts0, outputs0), jnp.arange(M + n_stages - 1)
+    )
+    # Only the last device holds real outputs; broadcast them to all so the
+    # result is replicated over the pipe axis (psum of one-hot-masked data).
+    keep = (idx == n_stages - 1).astype(outputs.dtype)
+    return jax.lax.psum(outputs * keep, axis_name)
+
+
+def pipeline_apply(
+    stage_fn: Callable[[Any, jax.Array], jax.Array],
+    stage_params: Any,
+    x: jax.Array,
+    *,
+    mesh,
+    microbatches: int,
+    axis_name: str = AXIS_MODEL,
+) -> jax.Array:
+    """Run ``x`` through ``n_stages`` chained stages, pipelined over
+    ``mesh``'s ``axis_name``.
+
+    stage_fn(params_i, h) -> h' applies ONE stage; it must preserve the
+    activation shape (stages are chained). stage_params is a pytree whose
+    leaves are stacked on a leading stage axis of size mesh.shape[axis_name]
+    (stage i's slice lands on mesh position i). x: [B, ...] with
+    B % microbatches == 0. Returns stage_{S-1}(...stage_0(x)), replicated.
+    """
+    n_stages = mesh.shape[axis_name]
+    B = x.shape[0]
+    assert B % microbatches == 0, (B, microbatches)
+    for leaf in jax.tree.leaves(stage_params):
+        assert leaf.shape[0] == n_stages, (
+            f"stage_params leading axis {leaf.shape[0]} != pipe axis "
+            f"{n_stages}"
+        )
+    mb = B // microbatches
+    x_mb = x.reshape(microbatches, mb, *x.shape[1:])
+
+    body = functools.partial(
+        _pipeline_body,
+        stage_fn=stage_fn,
+        axis_name=axis_name,
+        n_stages=n_stages,
+    )
+    param_specs = jax.tree.map(lambda _: P(axis_name), stage_params)
+    out = _shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(param_specs, P()),
+        out_specs=P(),
+    )(stage_params, x_mb)
+    return out.reshape(B, *x.shape[1:])

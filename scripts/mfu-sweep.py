@@ -45,7 +45,8 @@ def _pick_device():
     return jax.devices()[0]
 
 
-def scaled_config(remat: bool, flash_min: int = 1024):
+def scaled_config(remat: bool, flash_min: int = 1024, d_enc: int = 512,
+                  d_dec: int = 256, heads: int = 8):
     from musicstyletransfer_tpu.models import (
         DecoderConfig, EncoderConfig, ModelConfig, TransformerConfig,
     )
@@ -54,19 +55,19 @@ def scaled_config(remat: bool, flash_min: int = 1024):
     return ModelConfig(
         encoder_config=EncoderConfig(
             transformer_config=TransformerConfig(
-                model_size=512, dropout=0.1, num_layers=4, num_heads=8,
+                model_size=d_enc, dropout=0.1, num_layers=4, num_heads=heads,
                 vocab_size=vocab, use_flash_attention=True, remat=remat,
                 flash_min_seq_len=flash_min,
             ),
-            latent_dim=512, num_classes=classes_n, input_dim=vocab,
+            latent_dim=d_enc, num_classes=classes_n, input_dim=vocab,
         ),
         decoder_config=DecoderConfig(
             transformer_config=TransformerConfig(
-                model_size=256, dropout=0.1, num_layers=2, num_heads=8,
+                model_size=d_dec, dropout=0.1, num_layers=2, num_heads=heads,
                 vocab_size=vocab, use_flash_attention=True, remat=remat,
                 flash_min_seq_len=flash_min,
             ),
-            latent_dim=512, num_classes=classes_n, output_dim=vocab,
+            latent_dim=d_enc, num_classes=classes_n, output_dim=vocab,
         ),
         dtype="bfloat16",
     )
@@ -80,10 +81,16 @@ def analytic_flops_per_step(B: int, L: int) -> float:
 
     enc_T, dec_T = L + 1, L + 2
     return (
-        stack_flops(B * enc_T, enc_T, 512, 4)
-        + stack_flops(B * dec_T, dec_T, 256, 2)
-        + 3.0 * 2.0 * B * dec_T * 256 * 293
+        stack_flops(B * enc_T, enc_T, _D_ENC, 4)
+        + stack_flops(B * dec_T, dec_T, _D_DEC, 2)
+        + 3.0 * 2.0 * B * dec_T * _D_DEC * 293
     )
+
+
+# Stack widths measured by this run (overridden in --big mode: the MFU
+# "structural ceiling" claim in BASELINE.md predicts a WIDER model lifts
+# MXU utilization — this is the knob that validates it).
+_D_ENC, _D_DEC = 512, 256
 
 
 def measure(device, B: int, remat: bool, mu_dtype: str, L: int = 512,
@@ -95,7 +102,8 @@ def measure(device, B: int, remat: bool, mu_dtype: str, L: int = 512,
         LossConfig, create_train_state, make_train_step,
     )
 
-    cfg = scaled_config(remat, flash_min)
+    cfg = scaled_config(remat, flash_min, d_enc=_D_ENC, d_dec=_D_DEC,
+                        heads=8 if _D_ENC <= 512 else 16)
     with jax.default_device(device):
         model = make_model(cfg)
         params = init_params(model, jax.random.key(0), max_seq_len=L)
@@ -159,6 +167,18 @@ def main():
     configure_jax_cache()
     device = _pick_device()
     print(f"# device: {device}", flush=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "--big":
+        # Ceiling-validation mode: enc 4x1024 h16 / dec 2x512 h16 at L=512.
+        # BASELINE.md's profile argues MFU ~0.33 is the SHAPE limit of
+        # d=512/256 matmuls on the 128x128 MXU; a d=1024 run must therefore
+        # land materially higher or the claim is wrong.
+        global _D_ENC, _D_DEC
+        _D_ENC, _D_DEC = 1024, 512
+        for B in ([int(b) for b in sys.argv[2:]] or [8, 16]):
+            print(json.dumps({"model": "enc4x1024/dec2x512",
+                              **measure(device, B, False, "f32")}),
+                  flush=True)
+        return
     if len(sys.argv) > 1:
         # Single-config mode: mfu-sweep.py B remat(0/1) mu flash_min L
         B = int(sys.argv[1])
