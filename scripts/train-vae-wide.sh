@@ -1,0 +1,33 @@
+#!/bin/bash
+# Wide VAE: the MFU-validation config from BASELINE.md (enc 4x1024 h16 /
+# dec 2x512 h16, L=512, bf16, remat-free). Measured rough MFU 0.437 at
+# batch 8 on v5e (scripts/mfu-sweep.py --big) — the highest-utilization
+# training config this framework ships; use it when the corpus is large
+# enough to feed ~79M parameters.
+set -e
+
+python -m musicstyletransfer_tpu.cli.main \
+--batch-size 8 \
+--kl-loss 0.5 \
+--validation-split 0.1 \
+--max-seq-len 512 \
+--data "${DATA:-./work/data/guitar_bass}" \
+--model-output models/wide \
+--out-samples /tmp/out-wide \
+--sampling-frequency 2000 \
+--checkpoint-frequency 1000 \
+--num-checkpoints-not-improved 32 \
+--epochs 10000 \
+--optimizer adam \
+--optimizer-params clip_gradient:1.0 \
+--learning-rate 0.0002 \
+--e-n-layers 4 \
+--e-dropout 0.1 \
+--e-rnn-hidden-dim 1024 \
+--e-num-heads 16 \
+--latent-dim 1024 \
+--d-n-layers 2 \
+--d-rnn-hidden-dim 512 \
+--d-dropout 0.1 \
+--use-flash-attention \
+"$@"
