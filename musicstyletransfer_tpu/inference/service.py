@@ -200,6 +200,14 @@ class StyleTransferService:
         return self._transfer_tokens(token_lists)
 
     def _transfer_tokens(self, token_lists: List[np.ndarray]) -> List[TransferResult]:
+        return self._finish(self._dispatch(token_lists), len(token_lists))
+
+    def _dispatch(self, token_lists: List[np.ndarray]):
+        """Issue the fused device call WITHOUT fetching the result.
+
+        Returns the on-device sequence array; ``_finish`` fetches and
+        detokenizes. The split is what lets the threaded loop overlap
+        batch N's device time with batch N-1's host detokenization."""
         assert 0 < len(token_lists) <= self.batch_size
         bucket = self._pick_bucket(token_lists)
         tokens, seq_lens = self._make_batch(token_lists, bucket)
@@ -229,9 +237,12 @@ class StyleTransferService:
                 self.num_classes,
                 key,
             )
-        seqs = np.asarray(seqs)  # [C, B, T]
+        return seqs
+
+    def _finish(self, seqs, n_requests: int) -> List[TransferResult]:
+        seqs = np.asarray(seqs)  # [C, B, T] (blocks until device done)
         results = []
-        for i in range(len(token_lists)):
+        for i in range(n_requests):
             midi_by_class, tokens_by_class = {}, {}
             for c in range(self.num_classes):
                 melody = melody_from_ids(seqs[c, i])
@@ -265,28 +276,62 @@ class StyleTransferService:
             (self._tokens_from_midi(midi_bytes), callback, time.perf_counter())
         )
 
-    def _loop(self) -> None:
-        while self._running:
-            batch: List = []
-            try:
+    def _collect_batch(self, block: bool) -> Optional[List]:
+        """Form one micro-batch: up to batch_size requests, flushed after
+        max_wait_ms. ``block=False`` returns None immediately on an empty
+        queue (used while a dispatched batch is in flight, so finishing it
+        is never delayed by the idle-poll timeout)."""
+        batch: List = []
+        try:
+            if block:
                 batch.append(self._queue.get(timeout=0.05))
+            else:
+                batch.append(self._queue.get_nowait())
+        except queue.Empty:
+            return None
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
             except queue.Empty:
+                break
+        return batch
+
+    def _deliver(self, seqs, batch: List) -> None:
+        results = self._finish(seqs, len(batch))
+        now = time.perf_counter()
+        self.stats.record_batch(
+            fill=len(batch),
+            queue_depth_after=self._queue.qsize(),
+            latencies_ms=[(now - t0) * 1e3 for _, _, t0 in batch],
+        )
+        for (_, callback, _), result in zip(batch, results):
+            callback(result)
+
+    def _loop(self) -> None:
+        """Sequential serving loop: collect a micro-batch, dispatch,
+        deliver. A request's latency is queue wait + device + detokenize.
+
+        Double-buffering (dispatch batch N+1 before delivering batch N)
+        was implemented and MEASURED on v5e at 75% of capacity — and
+        rejected: host work per batch (~10 ms fetch+detokenize) is small
+        against the batch cycle (~60 ms), so there is nothing worth
+        hiding, and every overlapped cycle taxes each request one extra
+        batch turn (unconditional overlap p50 78 -> 181 ms; queue-gated
+        adaptive overlap still 125 ms). The _dispatch/_finish split this
+        experiment introduced is kept — it is the right seam if a larger
+        model (bigger device share) ever changes the trade."""
+        while self._running:
+            batch = self._collect_batch(block=True)
+            if not batch:
                 continue
-            deadline = time.perf_counter() + self.max_wait_ms / 1e3
-            while len(batch) < self.batch_size:
-                remaining = deadline - time.perf_counter()
-                if remaining <= 0:
-                    break
-                try:
-                    batch.append(self._queue.get(timeout=remaining))
-                except queue.Empty:
-                    break
-            results = self.transfer_tokens([t for t, _, _ in batch])
-            now = time.perf_counter()
-            self.stats.record_batch(
-                fill=len(batch),
-                queue_depth_after=self._queue.qsize(),
-                latencies_ms=[(now - t0) * 1e3 for _, _, t0 in batch],
-            )
-            for (_, callback, _), result in zip(batch, results):
-                callback(result)
+            if self._device is not None:
+                with jax.default_device(self._device):
+                    self._deliver(
+                        self._dispatch([t for t, _, _ in batch]), batch
+                    )
+            else:
+                self._deliver(self._dispatch([t for t, _, _ in batch]), batch)
