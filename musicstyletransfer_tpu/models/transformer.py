@@ -100,8 +100,11 @@ class MultiHeadSelfAttention(nn.Module):
         return x.reshape(*x.shape[:-1], self.num_heads, self.head_dim)
 
     def _ring_eligible(self, x: jax.Array) -> bool:
-        """Ring attention engages only on a live mesh whose "model" axis
-        divides both the time and batch axes (see TransformerConfig)."""
+        """Ring attention engages on a live mesh with a >1 "model" axis and
+        a batch the data axis divides; the time axis need not divide the
+        ring (ring_attention_sharded pads it — the encoder's L+1 and
+        decoder's L+2 are consecutive, so no ring could serve both
+        otherwise)."""
         if not self.use_ring:
             return False
         from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, current_mesh
@@ -111,7 +114,6 @@ class MultiHeadSelfAttention(nn.Module):
             mesh is not None
             and AXIS_MODEL in mesh.shape
             and mesh.shape[AXIS_MODEL] > 1
-            and x.shape[1] % mesh.shape[AXIS_MODEL] == 0
             and x.shape[0] % mesh.shape.get(AXIS_DATA, 1) == 0
         )
 

@@ -154,16 +154,25 @@ def ring_attention_sharded(
     q, k, v: [B, H, T, D] (global); key_lens: [B]. The time axis is mapped
     over ``seq_axis``, batch over ``batch_axis`` — GSPMD reshards the
     operands into that layout if they arrive differently. Requires
-    T % mesh.shape[seq_axis] == 0 and B % mesh.shape[batch_axis] == 0.
+    B % mesh.shape[batch_axis] == 0; T is padded up to the next multiple
+    of the ring internally (padded keys sit beyond every ``key_lens`` so
+    they are masked; padded query rows are sliced away) — this matters
+    because the VAE's encoder and decoder see CONSECUTIVE lengths (L+1 and
+    L+2), which no ring size > 1 could otherwise serve simultaneously.
     """
     if mesh is None:
         mesh = current_mesh()
     assert mesh is not None, "ring_attention_sharded needs a mesh"
     n = mesh.shape[seq_axis]
-    assert q.shape[2] % n == 0, (q.shape, n)
     assert q.shape[0] % mesh.shape[batch_axis] == 0, (q.shape, mesh.shape)
     if interpret is None:
         interpret = should_interpret()
+
+    T = q.shape[2]
+    T_pad = ((T + n - 1) // n) * n
+    if T_pad != T:
+        pad = [(0, 0), (0, 0), (0, T_pad - T), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
 
     qkv_spec = P(batch_axis, None, seq_axis, None)
     body = functools.partial(
@@ -174,9 +183,10 @@ def ring_attention_sharded(
         sm_scale=sm_scale,
         interpret=interpret,
     )
-    return _shard_map(
+    out = _shard_map(
         body,
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch_axis)),
         out_specs=qkv_spec,
     )(q, k, v, key_lens)
+    return out[:, :, :T, :] if T_pad != T else out

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Long-sequence VAE with sequence-parallel ring attention: the time axis
+# shards over the mesh's model axis (--tp carries the ring) and K/V chunks
+# rotate via ppermute (ops/ring_attention.py). Any max-seq-len works (the
+# ring pads the time axis internally); 2046 keeps the decoder's T = L+2 at
+# a round 2048.
+# On a single chip the ring is ineligible and the stacks fall back to the
+# HBM-streaming flash kernel — same command, graceful degradation.
+# Single-chip step-time table for these lengths: BASELINE.md
+# "Long-sequence training".
+set -e
+
+python -m musicstyletransfer_tpu.cli.main \
+--batch-size 4 \
+--kl-loss 0.5 \
+--validation-split 0.1 \
+--max-seq-len 2046 \
+--data "${DATA:-./work/data/guitar_bass}" \
+--model-output models/long \
+--out-samples /tmp/out-long \
+--sampling-frequency 2000 \
+--checkpoint-frequency 1000 \
+--num-checkpoints-not-improved 32 \
+--epochs 10000 \
+--optimizer adam \
+--optimizer-params clip_gradient:1.0 \
+--learning-rate 0.0002 \
+--e-n-layers 4 \
+--e-dropout 0.1 \
+--e-rnn-hidden-dim 512 \
+--e-num-heads 8 \
+--latent-dim 512 \
+--d-n-layers 2 \
+--d-rnn-hidden-dim 256 \
+--d-dropout 0.1 \
+--use-flash-attention \
+--ring-attention \
+--tp "${TP:-2}" \
+"$@"

@@ -153,6 +153,25 @@ class TestRingAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
 
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("T", [29, 33])
+    def test_time_axis_not_divisible_by_ring(self, cpu_devices, causal, T):
+        """T that does not divide the ring is padded internally and sliced
+        back — required because the VAE's encoder (L+1) and decoder (L+2)
+        see consecutive lengths that no ring > 1 could both divide."""
+        mesh = make_mesh(cpu_devices[:8], tp=4)
+        q, k, v = _qkv(B=2, T=T, seed=8)
+        key_lens = jnp.asarray([T, T - 7], jnp.int32)
+        out = ring_attention_sharded(
+            q, k, v, key_lens, causal=causal, mesh=mesh, interpret=True
+        )
+        ref = reference_attention(
+            q, k, v, key_lens, causal, 1.0 / np.sqrt(q.shape[-1])
+        )
+        assert out.shape == q.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
 
 def _ring_config(base, **tc_overrides):
     tc = dataclasses.replace(
@@ -171,11 +190,12 @@ def _ring_config(base, **tc_overrides):
 
 
 class TestRingInModel:
-    """ring_attention=True engages per-stack when T divides the model axis
-    (encoder sees L+1, decoder L+2 — consecutive, so one rides the ring and
-    the other falls back; both paths must agree with the base model)."""
+    """ring_attention=True engages on BOTH stacks: the encoder's L+1 and
+    decoder's L+2 are consecutive lengths, which the internal time-padding
+    serves (no ring > 1 could divide both). Both L parities must agree
+    with the base model."""
 
-    @pytest.mark.parametrize("L", [6, 7])  # decoder / encoder on the ring
+    @pytest.mark.parametrize("L", [6, 7])
     def test_forward_matches_base(self, cpu_devices, L):
         from musicstyletransfer_tpu.parallel.mesh import use_mesh
 
