@@ -16,6 +16,11 @@ Every file round-trips through the project's own writer, so the corpus is
 bit-exact with the tokenizer's SMF expectations.
 
 Usage: python scripts/make-synthetic-corpus.py OUT_DIR [files_per_class]
+       [length_mult]
+
+``length_mult`` scales every melody's note count (default 1): the
+long-sequence run (train-vae-long.sh, L=2046) needs files long enough to
+fill multi-thousand-token chunks, where the default lengths suit L=512.
 """
 
 from __future__ import annotations
@@ -36,9 +41,11 @@ from musicstyletransfer_tpu.midi.vocab import (  # noqa: E402
 
 PENTATONIC = [0, 3, 5, 7, 10]
 
+_LENGTH_MULT = 1
+
 
 def lead_melody(rng: np.random.Generator) -> Melody:
-    n_notes = int(rng.integers(150, 450))
+    n_notes = int(rng.integers(150, 450)) * _LENGTH_MULT
     root = int(rng.integers(57, 69))  # A3..G#4 region
     degree = 0
     toks = []
@@ -56,7 +63,7 @@ def lead_melody(rng: np.random.Generator) -> Melody:
 
 
 def bass_melody(rng: np.random.Generator) -> Melody:
-    n_notes = int(rng.integers(80, 250))
+    n_notes = int(rng.integers(80, 250)) * _LENGTH_MULT
     root = int(rng.integers(28, 41))  # E1..F2 region
     toks = []
     pattern = [0, 7, 0, 12]  # root - fifth - root - octave
@@ -76,6 +83,9 @@ def bass_melody(rng: np.random.Generator) -> Melody:
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mst-synth-corpus"
     per_class = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    global _LENGTH_MULT
+    if len(sys.argv) > 3:
+        _LENGTH_MULT = int(sys.argv[3])
     writer = MelodyWriter()
     rng = np.random.default_rng(0)
     total_tokens = 0
