@@ -7,6 +7,15 @@ as they appear (micro-batching via StyleTransferService).
 
     python -m musicstyletransfer_tpu.cli.serve \
         --model-output models/run1 --in-dir midis/ --out-samples out/
+
+HTTP mode (``--http PORT``): a threaded endpoint over the same service —
+concurrent clients' requests micro-batch together through the fused
+device call:
+
+    POST /transfer            MIDI bytes in -> JSON {class: base64 MIDI}
+    POST /transfer?class=N    MIDI bytes in -> raw transferred MIDI bytes
+    GET  /stats               ServiceStats snapshot (p50/p99, fill, queue)
+    GET  /healthz             liveness probe
 """
 
 from __future__ import annotations
@@ -23,8 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-output", "-m", required=True)
     p.add_argument("--checkpoint", "-c", type=int, default=-1)
-    p.add_argument("--in-dir", required=True)
-    p.add_argument("--out-samples", "-o", required=True)
+    p.add_argument("--in-dir", default=None,
+                   help="directory of .mid requests (required unless "
+                        "--http)")
+    p.add_argument("--out-samples", "-o", default=None,
+                   help="output directory (required unless --http)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--max-seq-len", type=int, default=64)
     p.add_argument("--watch", action="store_true")
@@ -41,7 +53,88 @@ def build_parser() -> argparse.ArgumentParser:
                         "fill, queue depth) on exit / every watch poll")
     p.add_argument("--cpu", action="store_true",
                    help="pin compute to a local CPU device (tests/dev)")
+    p.add_argument("--http", type=int, default=0, metavar="PORT",
+                   help="serve an HTTP endpoint instead of reading "
+                        "--in-dir (POST /transfer, GET /stats) — "
+                        "concurrent requests micro-batch together")
+    p.add_argument("--http-host", default="127.0.0.1",
+                   help="bind address for --http (default loopback)")
     return p
+
+
+def serve_http(svc: StyleTransferService, host: str, port: int):
+    """Threaded HTTP front end over the service's micro-batching loop.
+
+    Returns the bound ThreadingHTTPServer (caller runs serve_forever(), or
+    drives it from a thread in tests). Every in-flight POST blocks its
+    handler thread on the request's callback while the service loop batches
+    concurrent requests into fused device calls.
+    """
+    import base64
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, ctype: str, body: bytes) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/stats"):
+                body = json.dumps(svc.stats.snapshot()).encode()
+                self._send(200, "application/json", body)
+            elif self.path.startswith("/healthz"):
+                self._send(200, "text/plain", b"ok")
+            else:
+                self._send(404, "text/plain", b"not found")
+
+        def do_POST(self):
+            if not self.path.startswith("/transfer"):
+                return self._send(404, "text/plain", b"not found")
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                data = self.rfile.read(length)
+                done = threading.Event()
+                box = {}
+
+                def cb(result):
+                    box["result"] = result
+                    done.set()
+
+                svc.enqueue(data, cb)
+            except Exception as exc:  # malformed MIDI / no note events
+                return self._send(
+                    400, "text/plain", f"bad request: {exc}".encode()
+                )
+            if not done.wait(timeout=120.0):
+                return self._send(504, "text/plain", b"transfer timed out")
+            result = box["result"]
+            if "class=" in self.path:
+                try:
+                    cls = int(self.path.split("class=")[1].split("&")[0])
+                    midi = result.midi_by_class[cls]
+                except (ValueError, KeyError):
+                    return self._send(
+                        400, "text/plain",
+                        f"unknown class (have 0..{svc.num_classes - 1})"
+                        .encode(),
+                    )
+                return self._send(200, "audio/midi", midi)
+            payload = {
+                str(c): base64.b64encode(m).decode()
+                for c, m in result.midi_by_class.items()
+            }
+            self._send(200, "application/json", json.dumps(payload).encode())
+
+        def log_message(self, *args):  # quiet: stats carry the signal
+            pass
+
+    svc.start()
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def main(argv=None) -> None:
@@ -54,7 +147,12 @@ def main(argv=None) -> None:
     configure_jax_cache()
     if args.cpu:
         pin_local_cpu()
-    os.makedirs(args.out_samples, exist_ok=True)
+    if not args.http:
+        if not (args.in_dir and args.out_samples):
+            build_parser().error(
+                "--in-dir and --out-samples are required without --http"
+            )
+        os.makedirs(args.out_samples, exist_ok=True)
     buckets = (
         [int(b) for b in args.buckets.split(",") if b.strip()]
         if args.buckets else None
@@ -66,6 +164,18 @@ def main(argv=None) -> None:
         max_seq_len=args.max_seq_len,
         buckets=buckets,
     )
+    if args.http:
+        server = serve_http(svc, args.http_host, args.http)
+        print(f"serving HTTP on {args.http_host}:{server.server_port} "
+              f"(POST /transfer, GET /stats)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.shutdown()
+            svc.stop()
+        return
     seen = set()
 
     def process(files):

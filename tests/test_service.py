@@ -228,3 +228,92 @@ class TestServeCLI:
         captured = capsys.readouterr().out
         assert "stats: served=3" in captured
         assert "p99=" in captured
+
+
+class TestHTTPServing:
+    """--http endpoint: concurrent POSTs micro-batch through the service."""
+
+    @pytest.fixture()
+    def http_server(self, model_folder):
+        import threading
+
+        from musicstyletransfer_tpu.cli.serve import serve_http
+        from musicstyletransfer_tpu.inference.service import (
+            StyleTransferService,
+        )
+
+        svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
+                                   max_seq_len=8, max_wait_ms=20)
+        server = serve_http(svc, "127.0.0.1", 0)  # ephemeral port
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{server.server_port}"
+        server.shutdown()
+        svc.stop()
+
+    def test_transfer_json_and_raw(self, http_server):
+        import base64
+        import json
+        import urllib.request
+
+        body = _midi_bytes()
+        req = urllib.request.Request(f"{http_server}/transfer", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            payload = json.loads(resp.read())
+        assert set(payload) == {"0", "1", "2"}
+        for midi_b64 in payload.values():
+            mf = smf.parse_midifile(base64.b64decode(midi_b64))
+            assert mf.resolution > 0
+
+        req = urllib.request.Request(f"{http_server}/transfer?class=1",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"] == "audio/midi"
+            mf = smf.parse_midifile(resp.read())
+            assert mf.resolution > 0
+
+    def test_concurrent_posts_micro_batch(self, http_server):
+        """Simultaneous clients share fused calls (stats show fill > 1)."""
+        import json
+        import threading
+        import urllib.request
+
+        errors = []
+
+        def one(i):
+            try:
+                req = urllib.request.Request(
+                    f"{http_server}/transfer?class=0",
+                    data=_midi_bytes((60 + i,)), method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=60) as resp:
+                    assert resp.status == 200
+            except Exception as exc:  # surfaced below
+                errors.append(exc)
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        with urllib.request.urlopen(f"{http_server}/stats",
+                                    timeout=10) as resp:
+            stats = json.loads(resp.read())
+        assert stats["requests_served"] >= 4
+
+    def test_bad_request_and_health(self, http_server):
+        import urllib.error
+        import urllib.request
+
+        with urllib.request.urlopen(f"{http_server}/healthz",
+                                    timeout=10) as resp:
+            assert resp.read() == b"ok"
+        req = urllib.request.Request(f"{http_server}/transfer",
+                                     data=b"not midi", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
