@@ -88,7 +88,13 @@ def serve_http(svc: StyleTransferService, host: str, port: int):
                 body = json.dumps(svc.stats.snapshot()).encode()
                 self._send(200, "application/json", body)
             elif self.path.startswith("/healthz"):
-                self._send(200, "text/plain", b"ok")
+                # Honest liveness: green only while the serving loop
+                # thread is actually alive (a dead loop would otherwise
+                # 504 every POST behind a passing probe).
+                if svc.is_serving():
+                    self._send(200, "text/plain", b"ok")
+                else:
+                    self._send(503, "text/plain", b"serving loop dead")
             else:
                 self._send(404, "text/plain", b"not found")
 
@@ -113,9 +119,12 @@ def serve_http(svc: StyleTransferService, host: str, port: int):
             if not done.wait(timeout=120.0):
                 return self._send(504, "text/plain", b"transfer timed out")
             result = box["result"]
-            if "class=" in self.path:
+            from urllib.parse import parse_qs, urlparse
+
+            query = parse_qs(urlparse(self.path).query)
+            if "class" in query:  # exact param, not a substring match
                 try:
-                    cls = int(self.path.split("class=")[1].split("&")[0])
+                    cls = int(query["class"][0])
                     midi = result.midi_by_class[cls]
                 except (ValueError, KeyError):
                     return self._send(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import math
 import queue
 import threading
 import time
@@ -48,11 +49,14 @@ class TransferResult:
 
 
 def _percentile(sorted_vals: List[float], p: float) -> float:
-    """Nearest-rank percentile of an ascending list (p in [0, 100])."""
+    """Nearest-rank percentile of an ascending list (p in [0, 100]):
+    1-based rank ceil(p*N/100). (int(p*N/100) as a 0-based index is one
+    rank high whenever p*N/100 is integral — p99 of 100 samples would
+    return the max.)"""
     if not sorted_vals:
         return 0.0
-    idx = min(len(sorted_vals) - 1, max(0, int(p / 100.0 * len(sorted_vals))))
-    return sorted_vals[idx]
+    rank = math.ceil(p / 100.0 * len(sorted_vals))
+    return sorted_vals[min(len(sorted_vals) - 1, max(0, rank - 1))]
 
 
 class ServiceStats:
@@ -70,6 +74,11 @@ class ServiceStats:
         self._served = 0
         self._batches = 0
         self._max_queue_depth = 0
+        self._batch_errors = 0
+
+    def record_error(self) -> None:
+        with self._lock:
+            self._batch_errors += 1
 
     def record_batch(self, fill: int, queue_depth_after: int,
                      latencies_ms: List[float]) -> None:
@@ -90,9 +99,11 @@ class ServiceStats:
             fills = list(self._batch_fills)
             served, batches = self._served, self._batches
             depth = self._max_queue_depth
+            errors = self._batch_errors
         return {
             "requests_served": served,
             "batches": batches,
+            "batch_errors": errors,
             "mean_batch_fill": (sum(fills) / len(fills)) if fills else 0.0,
             "max_queue_depth": depth,
             "latency_p50_ms": _percentile(lat, 50),
@@ -270,6 +281,10 @@ class StyleTransferService:
             self._thread.join()
             self._thread = None
 
+    def is_serving(self) -> bool:
+        """True while the threaded loop is alive (liveness probes)."""
+        return self._thread is not None and self._thread.is_alive()
+
     def enqueue(self, midi_bytes: bytes, callback) -> None:
         """Queue a request; ``callback(TransferResult)`` fires when served."""
         self._queue.put(
@@ -324,14 +339,28 @@ class StyleTransferService:
         adaptive overlap still 125 ms). The _dispatch/_finish split this
         experiment introduced is kept — it is the right seam if a larger
         model (bigger device share) ever changes the trade."""
+        import logging
+
         while self._running:
             batch = self._collect_batch(block=True)
             if not batch:
                 continue
-            if self._device is not None:
-                with jax.default_device(self._device):
+            # A failing batch (device error, bad callback) must not kill
+            # the serving thread: its requesters' callbacks never fire
+            # (they time out client-side), the error is counted, and the
+            # loop keeps serving. Liveness stays honest via is_serving().
+            try:
+                if self._device is not None:
+                    with jax.default_device(self._device):
+                        self._deliver(
+                            self._dispatch([t for t, _, _ in batch]), batch
+                        )
+                else:
                     self._deliver(
                         self._dispatch([t for t, _, _ in batch]), batch
                     )
-            else:
-                self._deliver(self._dispatch([t for t, _, _ in batch]), batch)
+            except Exception:
+                self.stats.record_error()
+                logging.getLogger(__name__).exception(
+                    "serving batch of %d failed; loop continues", len(batch)
+                )

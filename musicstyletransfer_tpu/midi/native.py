@@ -57,6 +57,19 @@ def _build() -> bool:
         return False
 
 
+def _lib_is_stale() -> bool:
+    """True when the built .so predates the C++ source: the ctypes
+    signatures below track the CURRENT ABI (e.g. the required-size
+    out-params the capacity-retry loop depends on), and calling an old
+    binary through them silently degrades (zero-filled out-params turn
+    recoverable capacity errors into hard failures)."""
+    src = os.path.join(_NATIVE_DIR, "midi_tokenizer.cpp")
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     """Load (building on demand) the native library; None if unavailable."""
     global _lib, _lib_load_failed
@@ -64,7 +77,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         return _lib
     if _lib_load_failed:
         return None
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if (not os.path.exists(_LIB_PATH) or _lib_is_stale()) and not _build():
         _lib_load_failed = True
         return None
     try:

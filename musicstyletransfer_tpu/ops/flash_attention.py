@@ -644,9 +644,15 @@ def _dkv_stream_kernel(
         dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
 
-    active = qi * block_q < valid_len
+    # Do NOT gate on qi vs valid_len: valid_len counts KEYS, and in ring
+    # off-diagonal calls the query chunk is a different range entirely —
+    # query rows at/after the key count still contribute dK/dV (same
+    # invariant as _dkv_kernel's lse-sentinel mask). Zero-visible-key rows
+    # are dropped by that mask below; causal additionally skips query
+    # blocks strictly before this key block.
+    active = jnp.bool_(True)
     if causal:
-        active = active & ((qi + 1) * block_q - 1 >= ki * block_k)
+        active = (qi + 1) * block_q - 1 >= ki * block_k
 
     @pl.when(active)
     def _update():

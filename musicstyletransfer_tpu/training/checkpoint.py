@@ -14,6 +14,7 @@ resume scans for the latest index. Improvements over the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import re
@@ -105,18 +106,25 @@ def _gather_to_host(tree):
     scale — for independence from orbax's multihost protocol (see
     _dist_state: jax.process_count() is wrong under the axon plugin, and
     orbax keys all its barriers and primary-election off it)."""
-    from jax.sharding import NamedSharding, PartitionSpec
-
     def one(x):
         if isinstance(x, jax.Array) and not x.sharding.is_fully_replicated:
-            mesh = x.sharding.mesh
-            x = jax.jit(
-                lambda a: a,
-                out_shardings=NamedSharding(mesh, PartitionSpec()),
-            )(x)
+            x = _replicate_fn(x.sharding.mesh)(x)
         return jax.device_get(x)
 
     return jax.tree.map(one, tree)
+
+
+@functools.lru_cache(maxsize=8)
+def _replicate_fn(mesh):
+    """One cached jitted all-gather identity per mesh: jit caching is
+    keyed on function identity, so building a fresh lambda per leaf per
+    save would re-lower and recompile the same program dozens of times
+    every checkpoint tick."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.jit(
+        lambda a: a, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )
 
 
 def save_checkpoint(

@@ -240,3 +240,89 @@ class TestFlashStreaming:
         finally:
             small_stream._flash_forward_streaming = orig
         assert called.get("yes")
+
+
+class TestStreamingFullCotangents:
+    """Regression: the streaming dK/dV kernel must keep contributions from
+    query rows at/after the KEY count (valid_len counts keys — in ring
+    off-diagonal calls the query chunk is a different range entirely).
+    The plain grads test slices its loss below valid_len, which let a
+    q-block gate drop ~all of dK/dV for short key counts unnoticed."""
+
+    @pytest.fixture()
+    def small_stream(self, monkeypatch):
+        import importlib
+
+        fa = importlib.import_module(
+            "musicstyletransfer_tpu.ops.flash_attention"
+        )
+        monkeypatch.setattr(fa, "_STREAM_THRESHOLD", 128)
+        monkeypatch.setattr(fa, "_STREAM_BLOCK", 64)
+        return fa
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_with_unsliced_loss(self, small_stream, causal):
+        T = 192
+        q, k, v = _inputs(T=T)
+        # Key count inside the FIRST streaming block: q blocks 1..2 hold
+        # globally-valid queries past it that still produce dK/dV.
+        lens = jnp.asarray([T, 50], jnp.int32)
+
+        def lf(q, k, v):
+            o = flash_attention(q, k, v, lens, causal, None, True)
+            return jnp.sum(jnp.cos(o) ** 2)  # cotangents on EVERY row
+
+        def lr(q, k, v):
+            o = reference_attention(q, k, v, lens, causal, 1 / np.sqrt(16))
+            return jnp.sum(jnp.cos(o) ** 2)
+
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip("qkv", gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4,
+                err_msg=f"d{name} causal={causal}",
+            )
+
+    def test_ring_through_streaming_chunks(self, small_stream, cpu_devices):
+        """Ring attention whose per-chunk calls route through the
+        STREAMING kernels (chunk length >= the patched threshold):
+        forward and grads must still match plain attention."""
+        from musicstyletransfer_tpu.ops import (
+            reference_attention as ref_attn,
+            ring_attention_sharded,
+        )
+        from musicstyletransfer_tpu.parallel import make_mesh
+
+        mesh = make_mesh(cpu_devices[:8], tp=2)  # Tl = 128 >= threshold
+        rng = np.random.default_rng(11)
+        B, H, T, D = 4, 2, 256, 8  # B divides the mesh's data axis
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+            for _ in range(3)
+        )
+        key_lens = jnp.asarray([256, 150, 97, 200], jnp.int32)
+        sm = 1.0 / np.sqrt(D)
+        w = jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+
+        def f_ring(q, k, v):
+            out = ring_attention_sharded(
+                q, k, v, key_lens, causal=True, mesh=mesh, interpret=True
+            )
+            return jnp.sum(out * w)
+
+        def f_ref(q, k, v):
+            return jnp.sum(ref_attn(q, k, v, key_lens, True, sm) * w)
+
+        np.testing.assert_allclose(
+            np.asarray(ring_attention_sharded(
+                q, k, v, key_lens, causal=True, mesh=mesh, interpret=True
+            )),
+            np.asarray(ref_attn(q, k, v, key_lens, True, sm)),
+            atol=1e-5,
+        )
+        g_ring = jax.jit(jax.grad(f_ring, argnums=(0, 1, 2)))(q, k, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_ring, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4)

@@ -167,11 +167,15 @@ class TestServiceStats:
         assert 0 < s["mean_batch_fill"] <= 4
 
     def test_percentile_nearest_rank(self):
+        """Nearest-rank = 1-based ceil(p*N/100): p50 of 1..100 is 50, p99
+        is 99 — NOT the max (the original 0-based int() index was one rank
+        high whenever p*N/100 was integral)."""
         from musicstyletransfer_tpu.inference.service import _percentile
 
         vals = sorted(float(i) for i in range(1, 101))
-        assert _percentile(vals, 50) == 51.0
-        assert _percentile(vals, 99) == 100.0
+        assert _percentile(vals, 50) == 50.0
+        assert _percentile(vals, 99) == 99.0
+        assert _percentile(vals, 100) == 100.0
         assert _percentile([], 50) == 0.0
         assert _percentile([7.0], 99) == 7.0
 
@@ -317,3 +321,4 @@ class TestHTTPServing:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=30)
         assert exc_info.value.code == 400
+
