@@ -82,3 +82,26 @@ class TestSampleCLIRequiredArgs:
         with pytest.raises(SystemExit, match="out-samples"):
             sample_cli.main(["--model-output", "/tmp/nope",
                              "--data", "/tmp/nope"])
+
+
+class TestRingAttentionFlag:
+    def test_ring_flag_reaches_both_stacks(self):
+        """--ring-attention must set ring_attention AND sequence_sharding
+        on both transformer configs (the SP activation layout is what the
+        ring consumes)."""
+        from musicstyletransfer_tpu.cli.flags import get_config
+        from musicstyletransfer_tpu.cli.main import create_model_config
+
+        class _Dataset:
+            def num_tokens(self):
+                return 293
+
+            def num_classes(self):
+                return 2
+
+        for argv, want in ([["--ring-attention"], True], [[], False]):
+            cfg = create_model_config(get_config(argv), _Dataset())
+            for tc in (cfg.encoder_config.transformer_config,
+                       cfg.decoder_config.transformer_config):
+                assert tc.ring_attention is want
+                assert tc.sequence_sharding is want
