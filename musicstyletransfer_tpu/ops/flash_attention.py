@@ -184,7 +184,12 @@ _MAX_BLOCK = 256
 # with T and stops compiling around T ~ 8k at D=64 once the backward's
 # full-T q/do blocks are added).
 _STREAM_THRESHOLD = 8192
-_STREAM_BLOCK = 512
+# Streaming tile edge. Measured on v5e (fwd+bwd, causal bf16 B=8 H=8
+# D=64): 1024 beats 512 by 1.24x at T=8192 and 1.29x at 16384 (256 is
+# 2.8-3x WORSE — grid/DMA overhead dominates small tiles). 2048 would
+# put the [bq, bk] f32 score tile at 16 MB, over VMEM; 1024 (4 MB) is
+# the practical maximum at D=64.
+_STREAM_BLOCK = 1024
 
 
 def _block_for(T: int) -> int:
