@@ -98,11 +98,42 @@ def serve_http(svc: StyleTransferService, host: str, port: int):
             else:
                 self._send(404, "text/plain", b"not found")
 
+        # MIDI requests are KB-scale; cap the body so a hostile/buggy
+        # Content-Length cannot buffer gigabytes into the process that
+        # holds the model (relevant with --http-host 0.0.0.0).
+        MAX_BODY = 16 * 1024 * 1024
+
         def do_POST(self):
             if not self.path.startswith("/transfer"):
                 return self._send(404, "text/plain", b"not found")
+            from urllib.parse import parse_qs, urlparse
+
+            # Validate ?class BEFORE enqueueing: a bad selector must not
+            # pay a full fused device call just to 400 afterwards.
+            # keep_blank_values so '?class=' is a 400, not a silent
+            # fall-through to the JSON payload.
+            query = parse_qs(urlparse(self.path).query,
+                             keep_blank_values=True)
+            cls = None
+            if "class" in query:
+                try:
+                    cls = int(query["class"][0])
+                    if not 0 <= cls < svc.num_classes:
+                        raise ValueError(cls)
+                except ValueError:
+                    return self._send(
+                        400, "text/plain",
+                        f"unknown class (have 0..{svc.num_classes - 1})"
+                        .encode(),
+                    )
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > self.MAX_BODY:
+                    return self._send(
+                        413, "text/plain",
+                        f"body too large (max {self.MAX_BODY} bytes)"
+                        .encode(),
+                    )
                 data = self.rfile.read(length)
                 done = threading.Event()
                 box = {}
@@ -119,20 +150,13 @@ def serve_http(svc: StyleTransferService, host: str, port: int):
             if not done.wait(timeout=120.0):
                 return self._send(504, "text/plain", b"transfer timed out")
             result = box["result"]
-            from urllib.parse import parse_qs, urlparse
-
-            query = parse_qs(urlparse(self.path).query)
-            if "class" in query:  # exact param, not a substring match
-                try:
-                    cls = int(query["class"][0])
-                    midi = result.midi_by_class[cls]
-                except (ValueError, KeyError):
-                    return self._send(
-                        400, "text/plain",
-                        f"unknown class (have 0..{svc.num_classes - 1})"
-                        .encode(),
-                    )
-                return self._send(200, "audio/midi", midi)
+            if isinstance(result, Exception):  # failed batch, fail fast
+                return self._send(
+                    500, "text/plain", f"transfer failed: {result}".encode()
+                )
+            if cls is not None:
+                return self._send(200, "audio/midi",
+                                  result.midi_by_class[cls])
             payload = {
                 str(c): base64.b64encode(m).decode()
                 for c, m in result.midi_by_class.items()
@@ -142,8 +166,12 @@ def serve_http(svc: StyleTransferService, host: str, port: int):
         def log_message(self, *args):  # quiet: stats carry the signal
             pass
 
+    # Bind FIRST: if the port is taken, fail before spawning the serving
+    # loop thread (otherwise the OSError would leak a running loop that
+    # holds the device context with no handle to stop it).
+    server = ThreadingHTTPServer((host, port), Handler)
     svc.start()
-    return ThreadingHTTPServer((host, port), Handler)
+    return server
 
 
 def main(argv=None) -> None:
@@ -183,6 +211,7 @@ def main(argv=None) -> None:
             pass
         finally:
             server.shutdown()
+            server.server_close()  # shutdown() leaves the listening fd open
             svc.stop()
         return
     seen = set()

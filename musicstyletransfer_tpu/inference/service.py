@@ -286,7 +286,10 @@ class StyleTransferService:
         return self._thread is not None and self._thread.is_alive()
 
     def enqueue(self, midi_bytes: bytes, callback) -> None:
-        """Queue a request; ``callback(TransferResult)`` fires when served."""
+        """Queue a request; ``callback(TransferResult)`` fires when served.
+
+        If the batch fails, the callback receives the ``Exception``
+        instead (fail-fast contract — check ``isinstance(r, Exception)``)."""
         self._queue.put(
             (self._tokens_from_midi(midi_bytes), callback, time.perf_counter())
         )
@@ -359,8 +362,18 @@ class StyleTransferService:
                     self._deliver(
                         self._dispatch([t for t, _, _ in batch]), batch
                     )
-            except Exception:
+            except Exception as exc:
                 self.stats.record_error()
                 logging.getLogger(__name__).exception(
                     "serving batch of %d failed; loop continues", len(batch)
                 )
+                # Fail the waiters FAST: each callback receives the
+                # exception instead of a TransferResult, so HTTP handlers
+                # 500 immediately rather than blocking their full client
+                # timeout (which would pile up one stuck thread per
+                # request for the duration of a persistent error).
+                for _, callback, _ in batch:
+                    try:
+                        callback(exc)
+                    except Exception:
+                        pass

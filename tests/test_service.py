@@ -246,13 +246,16 @@ class TestHTTPServing:
             StyleTransferService,
         )
 
+        # Generous coalescing window: the micro-batching assertion below
+        # must hold even on a slow 1-vCPU host.
         svc = StyleTransferService(model_folder, checkpoint=-1, batch_size=4,
-                                   max_seq_len=8, max_wait_ms=20)
+                                   max_seq_len=8, max_wait_ms=200)
         server = serve_http(svc, "127.0.0.1", 0)  # ephemeral port
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()
-        yield f"http://127.0.0.1:{server.server_port}"
+        yield f"http://127.0.0.1:{server.server_port}", svc
         server.shutdown()
+        server.server_close()
         svc.stop()
 
     def test_transfer_json_and_raw(self, http_server):
@@ -260,6 +263,7 @@ class TestHTTPServing:
         import json
         import urllib.request
 
+        http_server, _svc = http_server
         body = _midi_bytes()
         req = urllib.request.Request(f"{http_server}/transfer", data=body,
                                      method="POST")
@@ -285,6 +289,7 @@ class TestHTTPServing:
         import threading
         import urllib.request
 
+        http_server, svc = http_server
         errors = []
 
         def one(i):
@@ -308,11 +313,15 @@ class TestHTTPServing:
                                     timeout=10) as resp:
             stats = json.loads(resp.read())
         assert stats["requests_served"] >= 4
+        # The point of the feature: concurrent requests COALESCE into
+        # shared fused calls (not one singleton batch each).
+        assert stats["batches"] < stats["requests_served"]
 
     def test_bad_request_and_health(self, http_server):
         import urllib.error
         import urllib.request
 
+        http_server, svc = http_server
         with urllib.request.urlopen(f"{http_server}/healthz",
                                     timeout=10) as resp:
             assert resp.read() == b"ok"
@@ -321,4 +330,39 @@ class TestHTTPServing:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(req, timeout=30)
         assert exc_info.value.code == 400
+        # Invalid / blank class selectors 400 BEFORE paying a device call.
+        for bad in ("?class=99", "?class=", "?class=x"):
+            req = urllib.request.Request(f"{http_server}/transfer{bad}",
+                                         data=_midi_bytes(), method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(req, timeout=30)
+            assert exc_info.value.code == 400, bad
+
+    def test_failed_batch_fails_fast(self, http_server):
+        # A device/loop error must 500 promptly via the exception
+        # callback, not strand the client until the 120s timeout; the
+        # loop itself must survive and keep serving.
+        import time
+        import urllib.error
+        import urllib.request
+
+        http_server, svc = http_server
+
+        def boom(toks):
+            raise RuntimeError("injected device failure")
+
+        orig = svc._dispatch
+        svc._dispatch = boom
+        try:
+            t0 = time.perf_counter()
+            req = urllib.request.Request(f"{http_server}/transfer",
+                                         data=_midi_bytes(), method="POST")
+            with pytest.raises(urllib.error.HTTPError) as exc_info:
+                urllib.request.urlopen(req, timeout=60)
+            assert exc_info.value.code == 500
+            assert time.perf_counter() - t0 < 30  # fail-fast, not 120s
+            assert svc.stats.snapshot()["batch_errors"] >= 1
+            assert svc.is_serving()  # the loop survived
+        finally:
+            svc._dispatch = orig
 
