@@ -17,9 +17,13 @@ from .train_step import (
     make_train_step,
     shard_train_state,
 )
+from .gan_trainer import GANTrainConfig, GANTrainer, make_gan_steps
 from .trainer import TrainConfig, Trainer
 
 __all__ = [
+    "GANTrainConfig",
+    "GANTrainer",
+    "make_gan_steps",
     "TrainingProgress",
     "get_latest_checkpoint_index",
     "restore_checkpoint",

@@ -1,0 +1,317 @@
+"""Adversarial trainer for the class-conditional sequence GAN.
+
+Reconstructs the reference's absent GAN training loop from its surviving
+artifacts (scripts/train.sh flag surface; loss.py:27-80 BCE — see
+models/gan.py's module docstring). TPU-first structure mirrors the VAE
+trainer (training/trainer.py): the discriminator and generator updates are
+each ONE jitted XLA program with donated state and on-device (sum, count)
+metric accumulation, so the hot loop never syncs with the host; metrics
+are fetched only at log boundaries.
+
+Loss layout: the discriminator judges every timestep (models/gan.py), and
+its BCE sees each sample's real and fake per-step predictions CONCATENATED
+along the time axis with labels [1]*L + [0]*L. That makes the reference's
+negative-label downweighting (loss.py:50-80, per-sample over non-batch
+axes) meaningful here: with balanced real:fake it is exactly neutral, and
+it rebalances automatically if the ratio is ever changed — whereas applied
+to an all-fake sample it would zero the loss. The generator's own update
+uses the non-saturating objective BCE(D(fake), 1) without smoothing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.gan import (
+    GANConfig,
+    generate_tokens,
+    init_gan_params,
+    make_discriminator,
+    make_generator,
+)
+from .checkpoint import (
+    get_latest_checkpoint_index,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from .loss import binary_cross_entropy
+from .optimizer import OptimizerConfig, build_optimizer
+from .train_step import TrainState, create_train_state
+
+
+@dataclasses.dataclass(frozen=True)
+class GANTrainConfig:
+    """Knobs from the reference's scripts/train.sh:6-21."""
+
+    discriminator_update_steps: int = 5   # D updates per G update
+    g_learning_rate: float = 5e-5
+    d_learning_rate: float = 5e-5
+    label_smoothing: float = 0.0
+    negative_label_downweighting: bool = False
+    checkpoint_frequency: int = 5000
+    sampling_frequency: int = 1000
+    num_samples: int = 8
+    temperature: float = 1.0
+    logdir: Optional[str] = None
+    log_every: int = 50
+    seed: int = 0
+
+
+def make_gan_steps(config: GANConfig, train_config: GANTrainConfig):
+    """Build (d_step, g_step), each jitted with donated state.
+
+    d_step(d_state, acc, g_params, real_tokens, classes) -> (d_state, acc)
+    g_step(g_state, acc, d_params, classes) -> (g_state, acc)
+
+    ``acc`` is an on-device {name: (sum, count)} dict accumulated across
+    steps; pass {} to start a fresh accumulation period.
+    """
+    gen = make_generator(config)
+    disc = make_discriminator(config)
+    gc = config.generator_config
+    V = config.discriminator_config.input_dim
+
+    def _fake_dists(g_params, classes, key):
+        """Differentiable soft generated sequences [B, L, V]."""
+        noise_key, roll_key = jax.random.split(key)
+        noise = jax.random.normal(
+            noise_key, (classes.shape[0], gc.max_seq_len, gc.noise_dim),
+            jnp.float32,
+        )
+        logits, _ = gen.apply(
+            {"params": g_params}, noise, classes, roll_key, hard=False,
+            temperature=train_config.temperature,
+        )
+        return jax.nn.softmax(logits)
+
+    def _accumulate(acc, metrics):
+        # Union of keys: a G-step must not drop the accumulated D sums
+        # (and vice versa) — the two steps contribute disjoint metrics.
+        out = dict(acc)
+        for k, (s, c) in metrics.items():
+            prev = out.get(k, (0.0, 0.0))
+            out[k] = (prev[0] + s, prev[1] + c)
+        return out
+
+    def d_step_fn(d_state, acc, g_params, real_tokens, classes):
+        key = jax.random.fold_in(d_state.rng, d_state.step)
+        fake = jax.lax.stop_gradient(_fake_dists(g_params, classes, key))
+        real = jax.nn.one_hot(real_tokens, V, dtype=jnp.float32)
+
+        def loss_fn(d_params):
+            pred_real = disc.apply({"params": d_params}, real, classes)
+            pred_fake = disc.apply({"params": d_params}, fake, classes)
+            pred = jnp.concatenate([pred_real, pred_fake], axis=1)
+            label = jnp.concatenate(
+                [jnp.ones_like(pred_real), jnp.zeros_like(pred_fake)], axis=1
+            )
+            loss = jnp.mean(binary_cross_entropy(
+                pred, label,
+                label_smoothing=train_config.label_smoothing,
+                negative_label_downweighting=(
+                    train_config.negative_label_downweighting
+                ),
+            ))
+            return loss, (pred_real, pred_fake)
+
+        (loss, (pr, pf)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(d_state.params)
+        updates, opt_state = d_tx.update(grads, d_state.opt_state,
+                                         d_state.params)
+        params = optax.apply_updates(d_state.params, updates)
+        n = jnp.asarray(1.0, jnp.float32)
+        metrics = {
+            "d_loss": (loss, n),
+            "d_acc_real": (jnp.mean(pr > 0.0), n),
+            "d_acc_fake": (jnp.mean(pf < 0.0), n),
+        }
+        new_state = d_state.replace(
+            step=d_state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, _accumulate(acc, metrics)
+
+    def g_step_fn(g_state, acc, d_params, classes):
+        key = jax.random.fold_in(g_state.rng, g_state.step)
+
+        def loss_fn(g_params):
+            fake = _fake_dists(g_params, classes, key)
+            pred = disc.apply({"params": d_params}, fake, classes)
+            # Non-saturating generator objective: maximize log D(fake).
+            return jnp.mean(binary_cross_entropy(
+                pred, jnp.ones_like(pred),
+                negative_label_downweighting=False,
+            ))
+
+        loss, grads = jax.value_and_grad(loss_fn)(g_state.params)
+        updates, opt_state = g_tx.update(grads, g_state.opt_state,
+                                         g_state.params)
+        params = optax.apply_updates(g_state.params, updates)
+        metrics = {"g_loss": (loss, jnp.asarray(1.0, jnp.float32))}
+        new_state = g_state.replace(
+            step=g_state.step + 1, params=params, opt_state=opt_state
+        )
+        return new_state, _accumulate(acc, metrics)
+
+    g_tx = build_optimizer(
+        OptimizerConfig("adam", "", train_config.g_learning_rate)
+    )
+    d_tx = build_optimizer(
+        OptimizerConfig("adam", "", train_config.d_learning_rate)
+    )
+    d_step = jax.jit(d_step_fn, donate_argnums=(0, 1))
+    g_step = jax.jit(g_step_fn, donate_argnums=(0, 1))
+    return d_step, g_step, g_tx, d_tx
+
+
+class GANTrainer:
+    """Epoch loop alternating D and G updates (D : G = discriminator_update_steps : 1)."""
+
+    def __init__(
+        self,
+        config: GANConfig,
+        train_config: GANTrainConfig,
+        out_samples: Optional[str] = None,
+    ) -> None:
+        self.config = config
+        self.train_config = train_config
+        self.out_samples = out_samples
+        self.gen = make_generator(config)
+        self.disc = make_discriminator(config)
+        self.d_step, self.g_step, self._g_tx, self._d_tx = make_gan_steps(
+            config, train_config
+        )
+        self._writer = None
+        if train_config.logdir:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(logdir=train_config.logdir)
+            except Exception:
+                print("tensorboardX not installed; GAN scalars print only")
+
+    # -- checkpoint layout: {folder}/generator/params.N + {folder}/discriminator/params.N
+
+    def _save(self, folder: str, index: int, g_state, d_state) -> None:
+        save_checkpoint(os.path.join(folder, "generator"), index, g_state)
+        save_checkpoint(os.path.join(folder, "discriminator"), index, d_state)
+
+    def _try_resume(self, folder: str, g_state, d_state):
+        gen_folder = os.path.join(folder, "generator")
+        if not os.path.isdir(gen_folder):
+            return g_state, d_state, 0
+        idx = get_latest_checkpoint_index(gen_folder)
+        if idx < 0:
+            return g_state, d_state, 0
+        try:
+            g_state = restore_checkpoint(
+                os.path.join(folder, "generator"), idx, g_state
+            )
+            d_state = restore_checkpoint(
+                os.path.join(folder, "discriminator"), idx, d_state
+            )
+            print(f"resumed GAN from checkpoint {idx}")
+            return g_state, d_state, idx
+        except Exception as e:  # corrupt checkpoint: train from scratch
+            print(f"GAN resume failed ({e}); training from scratch")
+            return g_state, d_state, 0
+
+    def fit(self, dataset, model_folder: str, epochs: int) -> Dict[str, float]:
+        cfg = self.train_config
+        os.makedirs(model_folder, exist_ok=True)
+        self.config.save(os.path.join(model_folder, "config"))
+
+        rng = jax.random.key(cfg.seed)
+        init_rng, g_rng, d_rng = jax.random.split(rng, 3)
+        g_params, d_params = init_gan_params(self.config, init_rng)
+        g_state = create_train_state(g_params, self._g_tx, g_rng)
+        d_state = create_train_state(d_params, self._d_tx, d_rng)
+        g_state, d_state, ckpt_idx = self._try_resume(
+            model_folder, g_state, d_state
+        )
+
+        acc: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+        n_batches = 0
+        last: Dict[str, float] = {}
+        t0 = time.time()
+        for epoch in range(epochs):
+            for batch in dataset:
+                tokens = jnp.asarray(batch.tokens[:, 1:])  # drop SOS: raw ids
+                classes = jnp.asarray(batch.classes)
+                d_state, acc = self.d_step(
+                    d_state, acc, g_state.params, tokens, classes
+                )
+                if n_batches % cfg.discriminator_update_steps == 0:
+                    g_state, acc = self.g_step(
+                        g_state, acc, d_state.params, classes
+                    )
+                n_batches += 1
+                if n_batches % cfg.log_every == 0:
+                    last = self._log(acc, epoch, n_batches, t0)
+                    acc = {}
+                if (cfg.checkpoint_frequency > 0
+                        and n_batches % cfg.checkpoint_frequency == 0):
+                    ckpt_idx += 1
+                    self._save(model_folder, ckpt_idx, g_state, d_state)
+                if (self.out_samples and cfg.sampling_frequency > 0
+                        and n_batches % cfg.sampling_frequency == 0):
+                    self.sample_to_midi(
+                        g_state.params,
+                        os.path.join(self.out_samples, f"step-{n_batches}"),
+                    )
+        ckpt_idx += 1
+        self._save(model_folder, ckpt_idx, g_state, d_state)
+        if not last:
+            last = self._log(acc, epochs - 1, n_batches, t0)
+        self.g_state, self.d_state = g_state, d_state
+        return last
+
+    def _log(self, acc, epoch: int, n_batches: int, t0: float):
+        vals = {
+            k: float(s) / max(float(c), 1.0) for k, (s, c) in acc.items()
+        }
+        line = " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items()))
+        rate = n_batches / max(time.time() - t0, 1e-9)
+        print(f"[gan] epoch {epoch} batch {n_batches} {line} "
+              f"({rate:.1f} updates/s)")
+        if self._writer is not None:
+            for k, v in vals.items():
+                self._writer.add_scalar(f"gan/{k}", v, global_step=n_batches)
+        return vals
+
+    def sample_to_midi(self, g_params, out_dir: str) -> list:
+        """Write num_samples generated MIDIs per class: gan-out-{i}.class-{c}.mid
+        (the VAE sampler's file-naming scheme, reference sampler.py:102)."""
+        from ..midi.codec import MelodyWriter, melody_from_ids
+        from ..midi.vocab import EOS_ID
+
+        os.makedirs(out_dir, exist_ok=True)
+        writer = MelodyWriter()
+        cfg = self.train_config
+        paths = []
+        C = self.config.generator_config.num_classes
+        for c in range(C):
+            classes = jnp.full((cfg.num_samples,), c, jnp.int32)
+            tokens = np.asarray(generate_tokens(
+                self.gen, g_params, classes,
+                jax.random.key(cfg.seed + 1000 + c),
+                temperature=cfg.temperature,
+            ))
+            for i in range(cfg.num_samples):
+                row = tokens[i]
+                eos = np.flatnonzero(row == EOS_ID)
+                if eos.size:
+                    row = row[: eos[0]]
+                melody = melody_from_ids(row)
+                path = os.path.join(out_dir, f"gan-out-{i}.class-{c}.mid")
+                writer.write_to_file(path, melody)
+                paths.append(path)
+        return paths
