@@ -65,7 +65,8 @@ class GANTrainConfig:
     seed: int = 0
 
 
-def make_gan_steps(config: GANConfig, train_config: GANTrainConfig):
+def make_gan_steps(config: GANConfig, train_config: GANTrainConfig,
+                   mesh=None):
     """Build (d_step, g_step), each jitted with donated state.
 
     d_step(d_state, acc, g_params, real_tokens, classes) -> (d_state, acc)
@@ -73,6 +74,11 @@ def make_gan_steps(config: GANConfig, train_config: GANTrainConfig):
 
     ``acc`` is an on-device {name: (sum, count)} dict accumulated across
     steps; pass {} to start a fresh accumulation period.
+
+    With ``mesh``, batch inputs are sharded over the mesh's "data" axis and
+    both models run data-parallel (params replicated — no TP rule matches
+    the LSTM parameter names — gradient psums inserted by XLA). Shard the
+    states first with ``training.shard_train_state(state, mesh)``.
     """
     gen = make_generator(config)
     disc = make_discriminator(config)
@@ -167,8 +173,29 @@ def make_gan_steps(config: GANConfig, train_config: GANTrainConfig):
     d_tx = build_optimizer(
         OptimizerConfig("adam", "", train_config.d_learning_rate)
     )
-    d_step = jax.jit(d_step_fn, donate_argnums=(0, 1))
-    g_step = jax.jit(g_step_fn, donate_argnums=(0, 1))
+    d_jit = jax.jit(d_step_fn, donate_argnums=(0, 1))
+    g_jit = jax.jit(g_step_fn, donate_argnums=(0, 1))
+    if mesh is None:
+        return d_jit, g_jit, g_tx, d_tx
+
+    from ..parallel.mesh import batch_sharding, use_mesh
+
+    data_sh = batch_sharding(mesh)
+
+    def _shard(x):
+        if isinstance(x, jax.Array) and x.sharding == data_sh:
+            return x
+        return jax.device_put(x, data_sh)
+
+    def d_step(d_state, acc, g_params, real_tokens, classes):
+        with use_mesh(mesh):
+            return d_jit(d_state, acc, g_params, _shard(real_tokens),
+                         _shard(classes))
+
+    def g_step(g_state, acc, d_params, classes):
+        with use_mesh(mesh):
+            return g_jit(g_state, acc, d_params, _shard(classes))
+
     return d_step, g_step, g_tx, d_tx
 
 
@@ -180,14 +207,16 @@ class GANTrainer:
         config: GANConfig,
         train_config: GANTrainConfig,
         out_samples: Optional[str] = None,
+        mesh=None,
     ) -> None:
         self.config = config
         self.train_config = train_config
         self.out_samples = out_samples
+        self.mesh = mesh
         self.gen = make_generator(config)
         self.disc = make_discriminator(config)
         self.d_step, self.g_step, self._g_tx, self._d_tx = make_gan_steps(
-            config, train_config
+            config, train_config, mesh=mesh
         )
         self._writer = None
         if train_config.logdir:
@@ -237,6 +266,11 @@ class GANTrainer:
         g_state, d_state, ckpt_idx = self._try_resume(
             model_folder, g_state, d_state
         )
+        if self.mesh is not None:
+            from .train_step import shard_train_state
+
+            g_state = shard_train_state(g_state, self.mesh)
+            d_state = shard_train_state(d_state, self.mesh)
 
         acc: Dict[str, Tuple[jax.Array, jax.Array]] = {}
         n_batches = 0

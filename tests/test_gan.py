@@ -210,6 +210,56 @@ class TestGANSteps:
         assert float(acc["d_loss"][0]) > 0
 
 
+class TestGANSharding:
+    def test_dp_mesh_matches_single_device(self):
+        """Data-parallel GAN steps on an 8-device mesh must reproduce the
+        single-device result (same keys -> same noise; psum order only
+        perturbs float reduction)."""
+        from musicstyletransfer_tpu.parallel import make_mesh
+        from musicstyletransfer_tpu.training import create_train_state
+        from musicstyletransfer_tpu.training.train_step import (
+            shard_train_state,
+        )
+
+        cfg = tiny_config()
+        tc = GANTrainConfig(d_learning_rate=1e-3, g_learning_rate=1e-3)
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(3, 12, (8, 8)), jnp.int32
+        )
+        classes = jnp.asarray(np.arange(8) % 3, jnp.int32)
+
+        def run(mesh):
+            d_step, g_step, g_tx, d_tx = make_gan_steps(cfg, tc, mesh=mesh)
+            g_params, d_params = init_gan_params(cfg, jax.random.key(0))
+            g_state = create_train_state(g_params, g_tx, jax.random.key(1))
+            d_state = create_train_state(d_params, d_tx, jax.random.key(2))
+            if mesh is not None:
+                g_state = shard_train_state(g_state, mesh)
+                d_state = shard_train_state(d_state, mesh)
+            acc = {}
+            for _ in range(2):
+                d_state, acc = d_step(d_state, acc, g_state.params,
+                                      tokens, classes)
+            g_state, acc = g_step(g_state, acc, d_state.params, classes)
+            return d_state, g_state, {
+                k: float(s) / float(c) for k, (s, c) in acc.items()
+            }
+
+        d_ref, g_ref, m_ref = run(None)
+        mesh = make_mesh(jax.devices("cpu")[:8], tp=1)
+        d_mesh, g_mesh, m_mesh = run(mesh)
+        for k in m_ref:
+            assert m_mesh[k] == pytest.approx(m_ref[k], rel=1e-4), k
+        for a, b in zip(jax.tree.leaves(d_ref.params),
+                        jax.tree.leaves(d_mesh.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(g_ref.params),
+                        jax.tree.leaves(g_mesh.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
 class TestGANTrainer:
     def test_fit_toy_and_resume(self, tmp_path):
         from musicstyletransfer_tpu.data import ToyData
