@@ -199,10 +199,13 @@ def main(argv=None) -> None:
 
     trainer = GANTrainer(config, create_gan_train_config(args),
                          out_samples=args.out_samples)
-    n_params = sum(
-        x.size
-        for x in jax.tree.leaves(init_gan_params(config, jax.random.key(0)))
+    # eval_shape: count parameters without tracing/executing a real init
+    # (fit() performs the actual init; doing it twice would add a full
+    # rollout trace before training starts).
+    shapes = jax.eval_shape(
+        lambda: init_gan_params(config, jax.random.key(0))
     )
+    n_params = sum(x.size for x in jax.tree.leaves(shapes))
     print(f"GAN parameters: {n_params:,}")
     trainer.fit(train_dataset, args.model_output, epochs=args.epochs)
     print("GAN training finished.")

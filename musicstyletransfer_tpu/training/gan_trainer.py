@@ -47,6 +47,23 @@ from .optimizer import OptimizerConfig, build_optimizer
 from .train_step import TrainState, create_train_state
 
 
+GAN_METRIC_KEYS = ("d_loss", "d_acc_real", "d_acc_fake", "g_loss")
+
+
+def init_gan_metric_acc():
+    """Fresh on-device accumulators with the FULL key set. Seeding every
+    key keeps the acc pytree structure constant across D and G steps, so
+    each jitted step compiles exactly once (an empty-dict start would
+    retrace as keys appear — multi-minute compiles through the TPU
+    tunnel; same idiom as train_step.init_metric_acc)."""
+    # Distinct arrays per leaf: the steps donate the accumulator, and
+    # donation rejects the same buffer appearing twice in one call.
+    return {
+        k: (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+        for k in GAN_METRIC_KEYS
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class GANTrainConfig:
     """Knobs from the reference's scripts/train.sh:6-21."""
@@ -96,7 +113,10 @@ def make_gan_steps(config: GANConfig, train_config: GANTrainConfig,
             {"params": g_params}, noise, classes, roll_key, hard=False,
             temperature=train_config.temperature,
         )
-        return jax.nn.softmax(logits)
+        # Same temperature as the rollout's own soft feedback and as
+        # inference sampling — the discriminator must judge the
+        # distribution the generator actually emits.
+        return jax.nn.softmax(logits / train_config.temperature)
 
     def _accumulate(acc, metrics):
         # Union of keys: a G-step must not drop the accumulated D sums
@@ -222,10 +242,15 @@ class GANTrainer:
         if train_config.logdir:
             try:
                 from tensorboardX import SummaryWriter
-
-                self._writer = SummaryWriter(logdir=train_config.logdir)
-            except Exception:
+            except ImportError:
                 print("tensorboardX not installed; GAN scalars print only")
+            else:
+                try:
+                    self._writer = SummaryWriter(logdir=train_config.logdir)
+                except Exception as exc:
+                    print(f"TensorBoard writer failed for "
+                          f"{train_config.logdir!r} ({exc}); "
+                          "GAN scalars print only")
 
     # -- checkpoint layout: {folder}/generator/params.N + {folder}/discriminator/params.N
 
@@ -240,15 +265,16 @@ class GANTrainer:
         idx = get_latest_checkpoint_index(gen_folder)
         if idx < 0:
             return g_state, d_state, 0
+        # Atomic: restore BOTH into temporaries so a half-readable pair
+        # (e.g. corrupt discriminator checkpoint) falls back to the
+        # original fresh states — never a trained G against a fresh D.
         try:
-            g_state = restore_checkpoint(
-                os.path.join(folder, "generator"), idx, g_state
-            )
-            d_state = restore_checkpoint(
+            g_restored = restore_checkpoint(gen_folder, idx, g_state)
+            d_restored = restore_checkpoint(
                 os.path.join(folder, "discriminator"), idx, d_state
             )
             print(f"resumed GAN from checkpoint {idx}")
-            return g_state, d_state, idx
+            return g_restored, d_restored, idx
         except Exception as e:  # corrupt checkpoint: train from scratch
             print(f"GAN resume failed ({e}); training from scratch")
             return g_state, d_state, 0
@@ -267,13 +293,21 @@ class GANTrainer:
             model_folder, g_state, d_state
         )
         if self.mesh is not None:
+            from . import checkpoint as ckpt_mod
             from .train_step import shard_train_state
 
-            g_state = shard_train_state(g_state, self.mesh)
-            d_state = shard_train_state(d_state, self.mesh)
+            if not ckpt_mod._multiprocess():
+                # Single-process mesh: restore (or init) produced host /
+                # single-device arrays; place them. Multi-process restore
+                # is collective and already returned globally-sharded
+                # arrays (device_get of a non-addressable shard would
+                # throw here) — same guard as the VAE trainer's resume.
+                g_state = shard_train_state(g_state, self.mesh)
+                d_state = shard_train_state(d_state, self.mesh)
 
-        acc: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+        acc: Dict[str, Tuple[jax.Array, jax.Array]] = init_gan_metric_acc()
         n_batches = 0
+        since_log = 0
         last: Dict[str, float] = {}
         t0 = time.time()
         for epoch in range(epochs):
@@ -288,9 +322,11 @@ class GANTrainer:
                         g_state, acc, d_state.params, classes
                     )
                 n_batches += 1
+                since_log += 1
                 if n_batches % cfg.log_every == 0:
-                    last = self._log(acc, epoch, n_batches, t0)
-                    acc = {}
+                    last.update(self._log(acc, epoch, n_batches, t0))
+                    acc = init_gan_metric_acc()
+                    since_log = 0
                 if (cfg.checkpoint_frequency > 0
                         and n_batches % cfg.checkpoint_frequency == 0):
                     ckpt_idx += 1
@@ -303,14 +339,19 @@ class GANTrainer:
                     )
         ckpt_idx += 1
         self._save(model_folder, ckpt_idx, g_state, d_state)
-        if not last:
-            last = self._log(acc, epochs - 1, n_batches, t0)
+        if since_log:
+            # Flush the trailing window so the returned metrics reflect
+            # the final model, not the last full log_every boundary.
+            # (update, not replace: a short trailing window may lack a
+            # G update; keep the freshest value per metric.)
+            last.update(self._log(acc, epochs - 1, n_batches, t0))
         self.g_state, self.d_state = g_state, d_state
         return last
 
     def _log(self, acc, epoch: int, n_batches: int, t0: float):
         vals = {
-            k: float(s) / max(float(c), 1.0) for k, (s, c) in acc.items()
+            k: float(s) / float(c)
+            for k, (s, c) in acc.items() if float(c) > 0
         }
         line = " ".join(f"{k}={v:.4f}" for k, v in sorted(vals.items()))
         rate = n_batches / max(time.time() - t0, 1e-9)
@@ -325,7 +366,7 @@ class GANTrainer:
         """Write num_samples generated MIDIs per class: gan-out-{i}.class-{c}.mid
         (the VAE sampler's file-naming scheme, reference sampler.py:102)."""
         from ..midi.codec import MelodyWriter, melody_from_ids
-        from ..midi.vocab import EOS_ID
+        from ..midi.vocab import EOS_ID, PAD_ID
 
         os.makedirs(out_dir, exist_ok=True)
         writer = MelodyWriter()
@@ -341,9 +382,13 @@ class GANTrainer:
             ))
             for i in range(cfg.num_samples):
                 row = tokens[i]
-                eos = np.flatnonzero(row == EOS_ID)
-                if eos.size:
-                    row = row[: eos[0]]
+                # Truncate at the first terminator the generator emits.
+                # Real training sequences are PAD-terminated (EOS lives
+                # only in the VAE's label layout), so a trained generator
+                # signals the end with PAD; EOS is honored too.
+                stop = np.flatnonzero((row == EOS_ID) | (row == PAD_ID))
+                if stop.size:
+                    row = row[: stop[0]]
                 melody = melody_from_ids(row)
                 path = os.path.join(out_dir, f"gan-out-{i}.class-{c}.mid")
                 writer.write_to_file(path, melody)
