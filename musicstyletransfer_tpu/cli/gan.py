@@ -156,6 +156,26 @@ def generate_only(args) -> None:
     paths = trainer.sample_to_midi(g_params, out)
     print(f"wrote {len(paths)} samples from checkpoint {idx} to {out}")
 
+    if args.data and os.path.isdir(args.data):
+        # Class-conditional quality vs the corpus: one JSON line
+        # (inference/quality.py — conditioning works iff own-class JS
+        # is below other-class JS).
+        import json
+
+        from ..inference.quality import class_conditional_stats
+
+        melodies = Loader(
+            path=args.data,
+            max_sequence_length=args.max_seq_len,
+            slices_per_quarter_note=args.slices_per_quarter_note,
+        ).read_melodies()
+        corpus = {
+            idx: [m.tokens for m in melodies[name]]
+            for idx, name in enumerate(sorted(melodies))
+        }
+        gen_rows = trainer.generate_class_rows(g_params)
+        print(json.dumps(class_conditional_stats(gen_rows, corpus)))
+
 
 def main(argv=None) -> None:
     args = get_gan_config(argv)

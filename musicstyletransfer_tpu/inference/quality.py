@@ -38,6 +38,22 @@ def pitch_class_histogram(token_rows) -> np.ndarray:
     return hist / total if total else np.full(12, 1.0 / 12)
 
 
+def octave_histogram(token_rows) -> np.ndarray:
+    """Normalized octave (pitch // 12) histogram over note-ON tokens.
+
+    The register complement of ``pitch_class_histogram``: classes like the
+    bundled guitar/bass corpus are nearly identical in pitch-class space
+    (JS 0.014) but ~19 semitones apart in register — conditioning on such
+    classes is only measurable here."""
+    hist = np.zeros(11, dtype=np.float64)
+    for row in token_rows:
+        for tok in np.asarray(row).tolist():
+            if is_note_on(tok):
+                hist[token_pitch(tok) // 12] += 1
+    total = hist.sum()
+    return hist / total if total else np.full(11, 1.0 / 11)
+
+
 def js_divergence(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> float:
     """Jensen-Shannon divergence (natural log; 0 <= JS <= ln 2)."""
     p = np.asarray(p, np.float64) + eps
@@ -107,16 +123,27 @@ def transfer_stats(
                 ))
         source_hists.append(pitch_class_histogram(tokens_np[:nv]))
     corpus_hist = [pitch_class_histogram(rows) for rows in class_rows]
+    corpus_oct = [octave_histogram(rows) for rows in class_rows]
 
     source_hist = (
         np.mean(source_hists, axis=0) if source_hists
         else np.full(12, 1.0 / 12)
     )
-    target_js, source_js = [], []
+    target_js, source_js, target_oct_js, other_oct_js = [], [], [], []
     for c in range(num_classes):
         h = pitch_class_histogram(transfer_rows[c])
         target_js.append(js_divergence(h, corpus_hist[c]))
         source_js.append(js_divergence(h, source_hist))
+        # Octave (register) fit: classes like the bundled guitar/bass are
+        # nearly identical in pitch-class space (JS 0.014) but ~19
+        # semitones apart in register — class-conditioning quality on such
+        # corpora is only measurable here.
+        ho = octave_histogram(transfer_rows[c])
+        target_oct_js.append(js_divergence(ho, corpus_oct[c]))
+        others = [js_divergence(ho, corpus_oct[o])
+                  for o in range(num_classes) if o != c]
+        if others:
+            other_oct_js.append(float(np.mean(others)))
     return {
         "transfer_sequences": float(n_seqs),
         "termination_rate": n_terminated / max(n_seqs, 1),
@@ -125,5 +152,61 @@ def transfer_stats(
         "pitch_js_to_source_mix": float(np.mean(source_js)),
         "pitch_js_to_own_source": (
             float(np.mean(own_source_js)) if own_source_js else 0.0
+        ),
+        "octave_js_to_target_class": float(np.mean(target_oct_js)),
+        "octave_js_to_other_classes": (
+            float(np.mean(other_oct_js)) if other_oct_js else 0.0
+        ),
+    }
+
+
+def class_conditional_stats(
+    generated: Dict[int, List[np.ndarray]],
+    corpus: Dict[int, List[np.ndarray]],
+) -> Dict[str, float]:
+    """Unconditional-generation quality (the GAN family's analogue of
+    ``transfer_stats``): per class, the JS divergence between generated
+    samples' pitch-class histogram and (a) the SAME class's corpus profile
+    vs (b) the other classes' profiles. Class conditioning works iff
+    own-class JS < other-class JS. Also reports note-event structure
+    (note-on fraction, mean token length) — a degenerate generator (all
+    timeshifts, or no notes at all) shows up there."""
+    corpus_hist = {c: pitch_class_histogram(rows)
+                   for c, rows in corpus.items()}
+    corpus_oct = {c: octave_histogram(rows) for c, rows in corpus.items()}
+    own_js, other_js, lengths, note_on_frac = [], [], [], []
+    own_oct, other_oct = [], []
+    for c, rows in generated.items():
+        h = pitch_class_histogram(rows)
+        own_js.append(js_divergence(h, corpus_hist[c]))
+        others = [js_divergence(h, corpus_hist[o])
+                  for o in corpus_hist if o != c]
+        if others:
+            other_js.append(float(np.mean(others)))
+        ho = octave_histogram(rows)
+        own_oct.append(js_divergence(ho, corpus_oct[c]))
+        others_o = [js_divergence(ho, corpus_oct[o])
+                    for o in corpus_oct if o != c]
+        if others_o:
+            other_oct.append(float(np.mean(others_o)))
+        for row in rows:
+            row = np.asarray(row)
+            lengths.append(int(row.size))
+            if row.size:
+                ons = sum(1 for t in row.tolist() if is_note_on(int(t)))
+                note_on_frac.append(ons / row.size)
+    return {
+        "gen_sequences": float(sum(len(r) for r in generated.values())),
+        "gen_mean_len": float(np.mean(lengths)) if lengths else 0.0,
+        "gen_note_on_fraction": (
+            float(np.mean(note_on_frac)) if note_on_frac else 0.0
+        ),
+        "gen_pitch_js_to_own_class": float(np.mean(own_js)),
+        "gen_pitch_js_to_other_classes": (
+            float(np.mean(other_js)) if other_js else 0.0
+        ),
+        "gen_octave_js_to_own_class": float(np.mean(own_oct)),
+        "gen_octave_js_to_other_classes": (
+            float(np.mean(other_oct)) if other_oct else 0.0
         ),
     }

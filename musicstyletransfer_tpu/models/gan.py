@@ -98,12 +98,18 @@ class _GeneratorCell(nn.Module):
     @nn.compact
     def __call__(self, carry, x):
         c = self.config
-        carries, prev_emb, temperature = carry
+        carries, prev_emb, class_emb, temperature = carry
         noise_t, key_t = x
 
+        # Class conditioning at EVERY step, not just the initial state:
+        # over a 64-step rollout the initial (h0, c0) washes out, while the
+        # discriminator sees its class embedding at every position —
+        # asymmetric conditioning measurably fails to separate classes
+        # (BASELINE.md's GAN note).
         x_in = (
             nn.Dense(c.emb_dim, dtype=self.dtype, name="noise2emb")(noise_t)
             + prev_emb
+            + class_emb
         )
         h = x_in
         new_carries = []
@@ -128,7 +134,10 @@ class _GeneratorCell(nn.Module):
             soft = jax.nn.softmax(scaled).astype(self.dtype)
             # Soft embedding: distribution @ table — differentiable, MXU.
             next_emb = soft @ jnp.asarray(token_emb.embedding, self.dtype)
-        return (tuple(new_carries), next_emb, temperature), (logits, tokens_t)
+        return (
+            (tuple(new_carries), next_emb, class_emb, temperature),
+            (logits, tokens_t),
+        )
 
 
 class Generator(nn.Module):
@@ -156,6 +165,9 @@ class Generator(nn.Module):
         h0, c0 = jnp.split(hc, 2, axis=-1)
         carries0 = tuple((c0, h0) for _ in range(c.n_layers))
         prev0 = jnp.zeros((B, c.emb_dim), self.dtype)
+        # Per-step class conditioning (constant through the scan carry).
+        cemb = nn.Embed(c.num_classes, c.emb_dim, dtype=self.dtype,
+                        name="class2emb")(classes)
         temp = jnp.asarray(temperature, jnp.float32)
 
         cell = nn.scan(
@@ -167,7 +179,7 @@ class Generator(nn.Module):
         )(config=c, dtype=self.dtype, hard=hard, name="cell")
 
         xs = (jnp.swapaxes(noise, 0, 1), jax.random.split(key, L))
-        _, (logits, tokens) = cell((carries0, prev0, temp), xs)
+        _, (logits, tokens) = cell((carries0, prev0, cemb, temp), xs)
         return jnp.swapaxes(logits, 0, 1), jnp.swapaxes(tokens, 0, 1)
 
 

@@ -362,24 +362,20 @@ class GANTrainer:
                 self._writer.add_scalar(f"gan/{k}", v, global_step=n_batches)
         return vals
 
-    def sample_to_midi(self, g_params, out_dir: str) -> list:
-        """Write num_samples generated MIDIs per class: gan-out-{i}.class-{c}.mid
-        (the VAE sampler's file-naming scheme, reference sampler.py:102)."""
-        from ..midi.codec import MelodyWriter, melody_from_ids
+    def generate_class_rows(self, g_params) -> Dict[int, list]:
+        """num_samples truncated token rows per class id."""
         from ..midi.vocab import EOS_ID, PAD_ID
 
-        os.makedirs(out_dir, exist_ok=True)
-        writer = MelodyWriter()
         cfg = self.train_config
-        paths = []
-        C = self.config.generator_config.num_classes
-        for c in range(C):
+        rows: Dict[int, list] = {}
+        for c in range(self.config.generator_config.num_classes):
             classes = jnp.full((cfg.num_samples,), c, jnp.int32)
             tokens = np.asarray(generate_tokens(
                 self.gen, g_params, classes,
                 jax.random.key(cfg.seed + 1000 + c),
                 temperature=cfg.temperature,
             ))
+            out = []
             for i in range(cfg.num_samples):
                 row = tokens[i]
                 # Truncate at the first terminator the generator emits.
@@ -389,6 +385,20 @@ class GANTrainer:
                 stop = np.flatnonzero((row == EOS_ID) | (row == PAD_ID))
                 if stop.size:
                     row = row[: stop[0]]
+                out.append(row)
+            rows[c] = out
+        return rows
+
+    def sample_to_midi(self, g_params, out_dir: str) -> list:
+        """Write num_samples generated MIDIs per class: gan-out-{i}.class-{c}.mid
+        (the VAE sampler's file-naming scheme, reference sampler.py:102)."""
+        from ..midi.codec import MelodyWriter, melody_from_ids
+
+        os.makedirs(out_dir, exist_ok=True)
+        writer = MelodyWriter()
+        paths = []
+        for c, rows in self.generate_class_rows(g_params).items():
+            for i, row in enumerate(rows):
                 melody = melody_from_ids(row)
                 path = os.path.join(out_dir, f"gan-out-{i}.class-{c}.mid")
                 writer.write_to_file(path, melody)

@@ -315,6 +315,56 @@ class TestGANTrainer:
             smf.read_midifile(p)
 
 
+class TestGANQuality:
+    def test_class_conditional_stats_detects_conditioning(self):
+        """Own-class JS must beat other-class JS exactly when generated
+        samples match their own class's pitch profile."""
+        from musicstyletransfer_tpu.inference.quality import (
+            class_conditional_stats,
+        )
+        from musicstyletransfer_tpu.midi.vocab import note_on_id
+
+        c0 = [np.array([note_on_id(60 + i % 4) for i in range(20)])]
+        c1 = [np.array([note_on_id(66 + i % 4) for i in range(20)])]
+        corpus = {0: c0, 1: c1}
+
+        conditioned = class_conditional_stats({0: c0, 1: c1}, corpus)
+        assert (conditioned["gen_pitch_js_to_own_class"]
+                < conditioned["gen_pitch_js_to_other_classes"])
+        assert conditioned["gen_note_on_fraction"] == pytest.approx(1.0)
+        assert conditioned["gen_mean_len"] == pytest.approx(20.0)
+
+        swapped = class_conditional_stats({0: c1, 1: c0}, corpus)
+        assert (swapped["gen_pitch_js_to_own_class"]
+                > swapped["gen_pitch_js_to_other_classes"])
+
+    def test_octave_stats_detect_register_conditioning(self):
+        """Classes separated by REGISTER only (same pitch classes, like the
+        bundled guitar/bass corpus) are invisible to pitch-class JS and
+        must be caught by the octave histogram."""
+        from musicstyletransfer_tpu.inference.quality import (
+            class_conditional_stats,
+        )
+        from musicstyletransfer_tpu.midi.vocab import note_on_id
+
+        low = [np.array([note_on_id(24 + i % 4) for i in range(20)])]
+        high = [np.array([note_on_id(60 + i % 4) for i in range(20)])]
+        corpus = {0: low, 1: high}
+
+        conditioned = class_conditional_stats({0: low, 1: high}, corpus)
+        # Pitch-class profiles are identical -> no separation there...
+        assert conditioned["gen_pitch_js_to_own_class"] == pytest.approx(
+            conditioned["gen_pitch_js_to_other_classes"], abs=1e-9
+        )
+        # ...but the octave metric separates cleanly.
+        assert (conditioned["gen_octave_js_to_own_class"] + 0.1
+                < conditioned["gen_octave_js_to_other_classes"])
+
+        swapped = class_conditional_stats({0: high, 1: low}, corpus)
+        assert (swapped["gen_octave_js_to_own_class"]
+                > swapped["gen_octave_js_to_other_classes"] + 0.1)
+
+
 class TestGANCLI:
     def test_toy_cli_runs(self, tmp_path, capsys):
         from musicstyletransfer_tpu.cli.gan import main, main_toy, get_gan_config
