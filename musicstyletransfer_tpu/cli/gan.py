@@ -63,9 +63,11 @@ def build_gan_parser() -> argparse.ArgumentParser:
     misc.add_argument("--toy", action="store_true")
     misc.add_argument("--verbose", action="store_true")
     misc.add_argument("--generate", type=int, default=0, metavar="N",
-                      help="no training: load the latest checkpoint from "
+                      help="no training: load a checkpoint from "
                            "--model-output and write N samples per class "
                            "to --out-samples")
+    misc.add_argument("--checkpoint", "-c", type=int, default=-1,
+                      help="checkpoint index for --generate (-1 = latest)")
 
     tpu = parser.add_argument_group("TPU")
     tpu.add_argument("--dtype", choices=["bfloat16", "float32"],
@@ -143,7 +145,8 @@ def generate_only(args) -> None:
 
     config = GANConfig.load(os.path.join(args.model_output, "config"))
     gen_folder = os.path.join(args.model_output, "generator")
-    idx = get_latest_checkpoint_index(gen_folder)
+    idx = (args.checkpoint if args.checkpoint >= 0
+           else get_latest_checkpoint_index(gen_folder))
     if idx < 0:
         raise SystemExit(f"no generator checkpoint under {gen_folder}")
     template, _ = init_gan_params(config, jax.random.key(0))

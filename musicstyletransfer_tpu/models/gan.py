@@ -74,6 +74,13 @@ class DiscriminatorConfig(Config):
     emb_dim: int = 256       # --d-emb-hidden-dim
     num_classes: int = 2
     input_dim: int = 293
+    # Projection conditioning (Miyato & Koyama): makes the real/fake
+    # boundary class-dependent. Measured on guitar_bass (BASELINE.md):
+    # the only configuration where generated classes actually separate
+    # (octave JS own 0.142 vs other 0.176); additive-input-only
+    # conditioning reads flat (0.194 vs 0.195) but keeps denser note
+    # output at the same step budget.
+    projection: bool = True
 
 
 @register_config
@@ -203,9 +210,19 @@ class Discriminator(nn.Module):
                 nn.OptimizedLSTMCell(c.hidden_dim, dtype=self.dtype),
                 name=f"rnn{i}",
             )(x)
-        return nn.Dense(1, dtype=jnp.float32, name="head")(
-            x.astype(jnp.float32)
-        )[..., 0]
+        h = x.astype(jnp.float32)
+        logits = nn.Dense(1, dtype=jnp.float32, name="head")(h)[..., 0]
+        if c.projection:
+            # Projection conditioning (Miyato & Koyama, cGANs with
+            # projection discriminator): logit_t = head(h_t) + <h_t,
+            # v_class>. The additive input embedding alone lets D
+            # discriminate without ever USING the class, so the generator
+            # feels no pressure to separate classes; the inner-product
+            # term makes the real/fake boundary itself class-dependent.
+            proj = nn.Embed(c.num_classes, c.hidden_dim, dtype=jnp.float32,
+                            name="class_proj")(classes)
+            logits = logits + jnp.einsum("blh,bh->bl", h, proj)
+        return logits
 
 
 def make_generator(config: GANConfig) -> Generator:

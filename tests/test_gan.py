@@ -93,6 +93,26 @@ class TestGANModel:
                           jnp.asarray([1]), jax.random.key(2))
         assert not np.allclose(np.asarray(la), np.asarray(lb))
 
+    def test_discriminator_projection_off(self):
+        """projection=False falls back to input-additive conditioning only
+        (fewer params, same output surface)."""
+        import dataclasses as dc
+
+        cfg = tiny_config()
+        cfg = dc.replace(
+            cfg,
+            discriminator_config=dc.replace(
+                cfg.discriminator_config, projection=False
+            ),
+        )
+        disc = make_discriminator(cfg)
+        dists = jnp.zeros((2, 8, 12), jnp.float32)
+        classes = jnp.zeros((2,), jnp.int32)
+        params = disc.init(jax.random.key(0), dists, classes)["params"]
+        assert "class_proj" not in params
+        out = disc.apply({"params": params}, dists, classes)
+        assert out.shape == (2, 8)
+
     def test_discriminator_shapes_and_grad_flow(self):
         cfg = tiny_config()
         gen, disc = make_generator(cfg), make_discriminator(cfg)
