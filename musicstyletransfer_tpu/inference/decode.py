@@ -75,13 +75,12 @@ def _filter_logits(logits: jax.Array, top_k: int, top_p: float) -> jax.Array:
 def _fused_eligible(model: StyleVAE, batch: int, max_len: int,
                     top_k: int, top_p: float, greedy: bool) -> bool:
     """Auto-select the fused Pallas decode kernel (ops/fused_decode.py):
-    TPU backend, transformer decoder, no support filtering, VMEM budget OK.
-    Trace-time decision — all inputs are static under jit."""
+    TPU backend, transformer decoder, VMEM budget OK (top-k/top-p support
+    filtering runs in-kernel via its pairwise pass, which the budget
+    accounts for). Trace-time decision — all inputs are static under jit."""
     from ..ops.flash_attention import should_interpret
     from ..ops.fused_decode import supports_fused_decode
 
-    if top_k > 0 or top_p > 0.0:
-        return False  # support filtering not implemented in the kernel
     if should_interpret():
         return False  # Mosaic only compiles for TPU
     # max_grid=2: beyond two sequential batch tiles the XLA loop's
@@ -89,6 +88,7 @@ def _fused_eligible(model: StyleVAE, batch: int, max_len: int,
     eligible = supports_fused_decode(
         model.config, batch, max_len, max_grid=2,
         mode="greedy" if greedy else "sample",
+        filtered=not greedy and (top_k > 0 or top_p > 0.0),
     )
     if eligible and not greedy:
         # The fused kernel samples with the TPU hardware PRNG — same
@@ -183,6 +183,7 @@ def decode_sampled(
             model.config, params, x0, max_len, seed, temperature,
             mode="greedy" if greedy else "sample",
             interpret=should_interpret(),
+            top_k=0 if greedy else top_k, top_p=0.0 if greedy else top_p,
         )
     cache = model.apply(
         {"params": params}, z, classes, max_len + 1, method=StyleVAE.decode_prefill

@@ -72,18 +72,17 @@ def _fused_shard_eligible(model, mesh, per_shard_batch: int, max_len: int,
 
     if mesh.shape.get(AXIS_MODEL, 1) != 1:
         return False  # kernel holds full-width weights; DP only
-    if top_k > 0 or top_p > 0.0:
-        return False
     if should_interpret():
         return False
     return supports_fused_decode(
-        model.config, per_shard_batch, max_len, max_grid=2
+        model.config, per_shard_batch, max_len, max_grid=2,
+        filtered=top_k > 0 or top_p > 0.0,
     )
 
 
 @functools.lru_cache(maxsize=32)
 def _build_fused_sharded(model, mesh, max_len: int, mode: str,
-                         interpret: bool):
+                         interpret: bool, top_k: int = 0, top_p: float = 0.0):
     """Build (once per static signature) the jitted encode+shard_map'd
     fused-decode program. Cached so the serving hot path does not retrace
     and re-lower the Mosaic kernel per request — model and mesh are both
@@ -102,7 +101,7 @@ def _build_fused_sharded(model, mesh, max_len: int, mode: str,
         # the way a seed+axis_index offset would at grid 2.
         return fused_decode(
             config, params_s, x0_s, max_len, seed_s[0], temperature,
-            mode=mode, interpret=interpret,
+            mode=mode, interpret=interpret, top_k=top_k, top_p=top_p,
         )
 
     decode_sharded = jax.shard_map(
@@ -129,13 +128,14 @@ def _build_fused_sharded(model, mesh, max_len: int, mode: str,
 
 def _run_fused_sharded(
     model, params, tokens, seq_lens, classes, max_len, rng, mesh,
-    temperature, greedy, interpret,
+    temperature, greedy, interpret, top_k=0, top_p=0.0,
 ):
     """Encode under GSPMD, then shard_map the fused decode kernel over the
     data axis: one jitted program, every chip runs the whole sampling loop
     on its batch slice in VMEM."""
     run = _build_fused_sharded(
-        model, mesh, max_len, "greedy" if greedy else "sample", interpret
+        model, mesh, max_len, "greedy" if greedy else "sample", interpret,
+        0 if greedy else top_k, 0.0 if greedy else top_p,
     )
     dp = mesh.shape[AXIS_DATA]
     seeds = jax.random.randint(
@@ -196,10 +196,6 @@ def sharded_sample_sequences(
     elif use_fused:
         # Forced kernel path: reject arguments it cannot honor rather than
         # silently diverging from the XLA path's semantics.
-        if top_k > 0 or top_p > 0.0:
-            raise ValueError(
-                "use_fused=True does not support top_k/top_p filtering"
-            )
         if mesh.shape.get(AXIS_MODEL, 1) != 1:
             raise ValueError(
                 "use_fused=True requires a pure data-parallel mesh (tp=1); "
@@ -208,7 +204,7 @@ def sharded_sample_sequences(
     if use_fused:
         seqs, scores = _run_fused_sharded(
             model, params, tokens, seq_lens, classes, max_len, rng, mesh,
-            temperature, greedy, interpret,
+            temperature, greedy, interpret, top_k=top_k, top_p=top_p,
         )
         return seqs[:B], scores[:B]
     with use_mesh(mesh):

@@ -57,14 +57,21 @@ _NEG_INF = -1e30
 # v5e has ~16 MiB/core and Mosaic needs headroom for double buffering.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+# Lane-chunk width for the pairwise support-filter pass (see
+# _filter_support): bounds the [B, V, chunk] comparison transient.
+_FILTER_CHUNK = 64
 
-def _tile_fits(config, batch: int, max_len: int, mode: str = "sample") -> bool:
+
+def _tile_fits(config, batch: int, max_len: int, mode: str = "sample",
+               filtered: bool = False) -> bool:
     """VMEM footprint check for one batch tile of the kernel.
 
     ``mode="forced"`` adds the per-step logits output buffer
     ([max_len, batch, V] f32) that teacher-forced mode writes — without it
     a forced-mode tile could pass this check yet exceed VMEM in Mosaic
-    (~4.9 MB extra at flagship B=32/T=130/V=293)."""
+    (~4.9 MB extra at flagship B=32/T=130/V=293). ``filtered`` adds the
+    top-k/top-p pairwise pass's [B, V, _FILTER_CHUNK] comparison transient
+    plus its per-row accumulators."""
     dc = config.decoder_config
     tc = dc.transformer_config
     d, L, V = tc.model_size, tc.num_layers, dc.output_dim
@@ -75,11 +82,14 @@ def _tile_fits(config, batch: int, max_len: int, mode: str = "sample") -> bool:
     act = 6 * max_len * batch * d * itemsize + 4 * batch * V * 4
     if mode == "forced":
         act += max_len * batch * V * 4  # full logits output lives in VMEM
+    if filtered:
+        act += batch * V * _FILTER_CHUNK * 4 + 4 * batch * V * 4
     return cache + weights + act < _VMEM_BUDGET
 
 
 def select_batch_tile(
-    config, batch: int, max_len: int, mode: str = "sample"
+    config, batch: int, max_len: int, mode: str = "sample",
+    filtered: bool = False,
 ) -> Optional[int]:
     """Pick the batch-tile size: the whole batch when it fits (grid of 1 —
     the fast path), else the largest multiple-of-8 divisor of ``batch``
@@ -92,22 +102,23 @@ def select_batch_tile(
     paying that padding waste times the grid count, so unaligned divisors
     are admitted as a last resort before giving up (e.g. B=12 tiles as
     2x6). Returns None when no admissible tile exists."""
-    if _tile_fits(config, batch, max_len, mode):
+    if _tile_fits(config, batch, max_len, mode, filtered):
         return batch
     for tile in range(batch // 2, 7, -1):
         if batch % tile == 0 and tile % 8 == 0 and _tile_fits(
-            config, tile, max_len, mode
+            config, tile, max_len, mode, filtered
         ):
             return tile
     for tile in range(batch // 2, 0, -1):  # unaligned fallback
-        if batch % tile == 0 and _tile_fits(config, tile, max_len, mode):
+        if batch % tile == 0 and _tile_fits(config, tile, max_len, mode,
+                                            filtered):
             return tile
     return None
 
 
 def supports_fused_decode(
     config, batch: int, max_len: int, max_grid: Optional[int] = None,
-    mode: str = "sample",
+    mode: str = "sample", filtered: bool = False,
 ) -> bool:
     """True when the decoder fits this kernel: transformer type, head_dim
     divides lanes cleanly, and some batch tile fits the VMEM budget.
@@ -126,7 +137,7 @@ def supports_fused_decode(
     tc = dc.transformer_config
     if tc.model_size % tc.num_heads != 0 or tc.model_size % 128 != 0:
         return False
-    tile = select_batch_tile(config, batch, max_len, mode)
+    tile = select_batch_tile(config, batch, max_len, mode, filtered)
     if tile is None:
         return False
     return max_grid is None or batch // tile <= max_grid
@@ -171,6 +182,55 @@ def _gather_weights(params, config, cdtype):
     return ws
 
 
+def _above_weighted(scaled: jax.Array, weights: jax.Array) -> jax.Array:
+    """For each token i: sum_j weights[j] * [scaled[j] > scaled[i]] per row.
+
+    The pairwise pass behind the in-kernel support filters. Runs in lane
+    chunks of ``_FILTER_CHUNK`` so the [B, V, chunk] comparison transient
+    stays small (V=293 makes the full pass ~B*V*V ~ 2.7M VPU ops — noise
+    next to one decode step's matmuls). Pure jnp: unit-testable on CPU
+    outside Pallas, legal inside Mosaic (static shapes, no gather/sort).
+    """
+    V = scaled.shape[-1]
+    acc = jnp.zeros(scaled.shape, jnp.float32)
+    for j0 in range(0, V, _FILTER_CHUNK):
+        sj = scaled[:, j0 : j0 + _FILTER_CHUNK]  # [B, C]
+        wj = weights[:, j0 : j0 + _FILTER_CHUNK]
+        gt = sj[:, None, :] > scaled[:, :, None]  # [B, V, C]
+        acc = acc + jnp.sum(jnp.where(gt, wj[:, None, :], 0.0), axis=-1)
+    return acc
+
+
+def filter_support(scaled: jax.Array, top_k: int, top_p: float) -> jax.Array:
+    """Top-k / nucleus support restriction without sort or top_k gathers.
+
+    Matches ``inference.decode._filter_logits`` (same keep sets, applied to
+    the same temperature-scaled logits) via order statistics recast as
+    pairwise comparisons — Mosaic has no sort/argpartition, but at V=293
+    the O(V^2) pass is trivially cheap:
+
+    - top-k: token i survives iff fewer than k tokens are STRICTLY greater
+      (exactly "x >= k-th largest counting duplicates", ties kept — the
+      XLA path's ``logits < kth`` arithmetic).
+    - top-p: token i survives iff the probability mass of strictly-greater
+      tokens is < top_p (exactly the sorted-cumsum "mass before the first
+      occurrence" rule; the argmax always survives). Computed over the
+      post-top-k distribution, like the XLA path. Equal keep sets in real
+      arithmetic; f32 summation-order differences vs the cumsum can flip a
+      token whose boundary distance is below rounding (~1e-6 mass).
+    """
+    if top_k > 0 and top_k < scaled.shape[-1]:
+        count_above = _above_weighted(scaled, jnp.ones_like(scaled))
+        scaled = jnp.where(count_above < float(top_k), scaled, _NEG_INF)
+    if 0.0 < top_p < 1.0:
+        m = jnp.max(scaled, axis=-1, keepdims=True)
+        ex = jnp.exp(scaled - m)  # filtered rows underflow to exactly 0
+        probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+        mass_above = _above_weighted(scaled, probs)
+        scaled = jnp.where(mass_above < top_p, scaled, _NEG_INF)
+    return scaled
+
+
 def _layer_norm(x32, scale_ref, bias_ref, cdtype):
     """flax nn.LayerNorm semantics: all-f32 math, cast at the end."""
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -195,8 +255,12 @@ def _head_matrix(d: int, h: int, dtype):
     return (lanes // hd == heads).astype(dtype)
 
 
-def _make_kernel(config, B, T, mode, cdtype):
-    """Build the kernel body for a static (config, batch, max_len, mode)."""
+def _make_kernel(config, B, T, mode, cdtype, top_k=0, top_p=0.0):
+    """Build the kernel body for a static (config, batch, max_len, mode).
+
+    ``top_k``/``top_p`` restrict the sampling support (sample mode only;
+    greedy's argmax is filter-invariant and forced mode emits given
+    tokens) — see ``filter_support``."""
     tc = config.decoder_config.transformer_config
     D = tc.model_size
     H = tc.num_heads
@@ -324,9 +388,12 @@ def _make_kernel(config, B, T, mode, cdtype):
             elif mode == "greedy":
                 nxt = _argmax_lanes(logits, v_iota)
             else:
+                scaled = logits / temp_ref[0, 0]
+                if top_k > 0 or top_p > 0.0:
+                    scaled = filter_support(scaled, top_k, top_p)
                 bits = pltpu.prng_random_bits((B, V))
                 gumbel = -jnp.log(-jnp.log(_uniform_from_bits(bits)))
-                nxt = _argmax_lanes(logits / temp_ref[0, 0] + gumbel, v_iota)
+                nxt = _argmax_lanes(scaled + gumbel, v_iota)
 
             m = jnp.max(logits, axis=-1, keepdims=True)
             lse = jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1)) + m[:, 0]
@@ -381,7 +448,8 @@ def _argmax_lanes(x, lane_iota):
 @functools.partial(
     jax.jit,
     static_argnums=(0, 3),
-    static_argnames=("max_len", "mode", "interpret", "batch_tile"),
+    static_argnames=("max_len", "mode", "interpret", "batch_tile",
+                     "top_k", "top_p"),
 )
 def fused_decode(
     config,
@@ -394,6 +462,8 @@ def fused_decode(
     forced_tokens: Optional[jax.Array] = None,
     interpret: bool = False,
     batch_tile: Optional[int] = None,
+    top_k: int = 0,
+    top_p: float = 0.0,
 ):
     """Run the fused decode kernel.
 
@@ -403,7 +473,10 @@ def fused_decode(
 
     mode: "sample" (Gumbel-max multinomial), "greedy" (argmax), or
     "forced" (teacher-forced: emits ``forced_tokens`` and returns the
-    per-step logits — the parity-test hook).
+    per-step logits — the parity-test hook). ``top_k``/``top_p`` restrict
+    the sampling support in sample mode (see ``filter_support``); scores
+    still accumulate -log p under the unfiltered, untempered distribution,
+    matching the XLA loop.
 
     Batches whose KV cache exceeds the VMEM budget are processed as a
     sequential Pallas grid over independent batch tiles (weights stay
@@ -420,8 +493,9 @@ def fused_decode(
     T = max_len
     cdtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
 
+    filtered = mode == "sample" and (top_k > 0 or top_p > 0.0)
     Bt = batch_tile if batch_tile is not None else select_batch_tile(
-        config, B, T, mode
+        config, B, T, mode, filtered
     )
     if Bt is None or B % Bt != 0:
         raise ValueError(
@@ -437,7 +511,7 @@ def fused_decode(
     else:
         forced = forced_tokens.T.astype(jnp.int32)
 
-    kernel = _make_kernel(config, Bt, T, mode, cdtype)
+    kernel = _make_kernel(config, Bt, T, mode, cdtype, top_k, top_p)
 
     # Batch tiles ride a LEADING grid dimension (squeezed out of the kernel
     # refs via block size None) so every in-kernel block keeps its full

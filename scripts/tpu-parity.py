@@ -115,6 +115,59 @@ def main() -> None:
         assert np.isfinite(np.asarray(s_scores)).all()
         print("OK sampled decode well-formed (in-vocab, EOS->PAD, finite)")
 
+        # 3b. in-kernel support filtering (sample mode only on hardware —
+        # pltpu.prng has no CPU lowering, so interpreter tests can't reach
+        # this path; the mask math itself is pinned exactly on CPU by
+        # tests/test_fused_decode.py::TestFilterSupport).
+        #   top_k=1 collapses sampling to argmax: must match fused greedy
+        #   token-for-token despite the Gumbel noise.
+        k1_seqs, _ = fused_decode(
+            cfg, params, x0, T, jnp.asarray(99), mode="sample", top_k=1
+        )
+        agree_k1 = float(np.mean(np.asarray(k1_seqs) == f_np))
+        assert agree_k1 == 1.0, f"top_k=1 vs greedy agreement {agree_k1:.2%}"
+        #   a tiny top_p keeps only the argmax: same collapse.
+        p0_seqs, _ = fused_decode(
+            cfg, params, x0, T, jnp.asarray(77), mode="sample", top_p=1e-6
+        )
+        assert (np.asarray(p0_seqs) == f_np).all()
+        #   no-op filters (k=V) must reproduce the unfiltered draws
+        #   bitwise under the same seed (same PRNG call sequence).
+        kV_seqs, kV_scores = fused_decode(
+            cfg, params, x0, 64, jnp.asarray(123), mode="sample", top_k=293
+        )
+        assert (np.asarray(kV_seqs) == s).all()
+        np.testing.assert_array_equal(np.asarray(kV_scores),
+                                      np.asarray(s_scores))
+        #   moderate top_k: every emitted token must lie in the top-k of
+        #   the same prefix's teacher-forced logit replay (exact support
+        #   containment; k deep enough that bf16 logit noise between the
+        #   two kernel runs cannot flip membership at the boundary).
+        TOPK = 8
+        tk_seqs, _ = fused_decode(
+            cfg, params, x0, T, jnp.asarray(55), mode="sample", top_k=TOPK
+        )
+        tk = np.asarray(tk_seqs)
+        _, _, replay = fused_decode(
+            cfg, params, x0, T, jnp.asarray(0), mode="forced",
+            forced_tokens=jnp.asarray(tk),
+        )
+        replay = np.asarray(replay)
+        checked = 0
+        for b in range(tk.shape[0]):
+            for t in range(1, T):
+                tok = tk[b, t]
+                if tok == PAD_ID:
+                    break  # EOS reached; PAD rows carry no draw
+                order = np.argsort(-replay[b, t])
+                rank = int(np.nonzero(order == tok)[0][0])
+                assert rank < TOPK + 4, (b, t, tok, rank)
+                checked += 1
+        assert checked > 0
+        print(f"OK in-kernel top-k/top-p filtering (k=1==greedy, "
+              f"p->0==greedy, k=V bitwise-unfiltered, {checked} draws "
+              f"inside top-{TOPK})")
+
         # 4. flash attention fwd+bwd vs XLA reference
         from musicstyletransfer_tpu.ops.flash_attention import (
             flash_attention, reference_attention,

@@ -215,6 +215,97 @@ class TestEligibility:
         assert select_batch_tile(cfg, 8, 200_000) is None
 
 
+class TestFilterSupport:
+    """The kernel's sortless top-k/top-p (pairwise order statistics) must
+    keep EXACTLY the token sets of the XLA path's sort-based
+    ``_filter_logits`` — a support mismatch would be a correctness bug,
+    unlike the documented PRNG draw difference. ``filter_support`` is pure
+    jnp, so the equivalence is pinned here on CPU; sampling through it on
+    hardware is covered by scripts/tpu-parity.py."""
+
+    def _random_logits(self, seed, B=8, V=293):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.normal(scale=3.0, size=(B, V)).astype(
+            np.float32))
+
+    @pytest.mark.parametrize("top_k", [1, 3, 7, 50, 293])
+    def test_top_k_matches_xla_filter(self, top_k):
+        from musicstyletransfer_tpu.inference.decode import _filter_logits
+        from musicstyletransfer_tpu.ops.fused_decode import filter_support
+
+        logits = self._random_logits(top_k)
+        ref = np.asarray(_filter_logits(logits, top_k, 0.0))
+        got = np.asarray(filter_support(logits, top_k, 0.0))
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("top_p", [0.1, 0.5, 0.9, 0.99])
+    def test_top_p_matches_xla_filter(self, top_p):
+        from musicstyletransfer_tpu.inference.decode import _filter_logits
+        from musicstyletransfer_tpu.ops.fused_decode import filter_support
+
+        logits = self._random_logits(int(top_p * 100))
+        ref = np.asarray(_filter_logits(logits, 0, top_p))
+        got = np.asarray(filter_support(logits, 0, top_p))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_combined_filters_match(self):
+        from musicstyletransfer_tpu.inference.decode import _filter_logits
+        from musicstyletransfer_tpu.ops.fused_decode import filter_support
+
+        logits = self._random_logits(42)
+        ref = np.asarray(_filter_logits(logits, 10, 0.7))
+        got = np.asarray(filter_support(logits, 10, 0.7))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_top_k_tie_semantics(self):
+        """Duplicate-counting k-th statistic: with logits [5,5,5,3,...],
+        top_k=2's threshold is 5 and all THREE fives survive (the XLA
+        path's ``logits < kth`` keeps ties) while 3 does not."""
+        from musicstyletransfer_tpu.inference.decode import _filter_logits
+        from musicstyletransfer_tpu.ops.fused_decode import filter_support
+
+        row = np.full((1, 293), -10.0, np.float32)
+        row[0, [4, 100, 292]] = 5.0
+        row[0, 7] = 3.0
+        logits = jnp.asarray(row)
+        got = np.asarray(filter_support(logits, 2, 0.0))[0]
+        assert (got[[4, 100, 292]] == 5.0).all()
+        assert got[7] < -1e29
+        ref = np.asarray(_filter_logits(logits, 2, 0.0))[0]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_top_p_always_keeps_argmax(self):
+        from musicstyletransfer_tpu.ops.fused_decode import filter_support
+
+        # One dominant token, tiny top_p: support degenerates to argmax.
+        logits = self._random_logits(7)
+        got = np.asarray(filter_support(logits, 0, 1e-6))
+        best = np.argmax(np.asarray(logits), axis=-1)
+        for b in range(got.shape[0]):
+            assert got[b, best[b]] > -1e29
+            kept = np.flatnonzero(got[b] > -1e29)
+            assert list(kept) == [best[b]]
+
+    def test_filtered_budget_and_eligibility(self):
+        """Filtering adds a [B, V, chunk] transient to the VMEM estimate;
+        the flagship config must stay eligible WITH filtering on (that is
+        the point of in-kernel support) and the auto path must now accept
+        top-k/top-p requests."""
+        cfg = fused_config(dtype="bfloat16")
+        assert supports_fused_decode(cfg, batch=32, max_len=130,
+                                     filtered=True)
+        from musicstyletransfer_tpu.inference.decode import _fused_eligible
+        from musicstyletransfer_tpu.models import make_model
+        from musicstyletransfer_tpu.ops.flash_attention import (
+            should_interpret,
+        )
+
+        if not should_interpret():  # TPU backend: auto path says yes
+            model = make_model(cfg)
+            assert _fused_eligible(model, 32, 130, top_k=5, top_p=0.9,
+                                   greedy=False)
+
+
 class TestSampleBits:
     def test_uniform_from_bits_handles_signed_int32(self):
         """pltpu.prng_random_bits is typed int32: the uniform transform
