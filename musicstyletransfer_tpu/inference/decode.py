@@ -76,7 +76,7 @@ def _fused_eligible(model: StyleVAE, batch: int, max_len: int,
                     top_k: int, top_p: float, greedy: bool) -> bool:
     """Auto-select the fused Pallas decode kernel (ops/fused_decode.py):
     TPU backend, transformer decoder, VMEM budget OK (top-k/top-p support
-    filtering runs in-kernel via its pairwise pass, which the budget
+    filtering runs in-kernel via its bisection pass, which the budget
     accounts for). Trace-time decision — all inputs are static under jit."""
     from ..ops.flash_attention import should_interpret
     from ..ops.fused_decode import supports_fused_decode

@@ -57,9 +57,9 @@ _NEG_INF = -1e30
 # v5e has ~16 MiB/core and Mosaic needs headroom for double buffering.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
-# Lane-chunk width for the pairwise support-filter pass (see
-# _filter_support): bounds the [B, V, chunk] comparison transient.
-_FILTER_CHUNK = 64
+# Bisection depth for the support-filter threshold search (see
+# filter_support): 32 halvings close the full int32 key range exactly.
+_FILTER_ITERS = 32
 
 
 def _tile_fits(config, batch: int, max_len: int, mode: str = "sample",
@@ -69,9 +69,12 @@ def _tile_fits(config, batch: int, max_len: int, mode: str = "sample",
     ``mode="forced"`` adds the per-step logits output buffer
     ([max_len, batch, V] f32) that teacher-forced mode writes — without it
     a forced-mode tile could pass this check yet exceed VMEM in Mosaic
-    (~4.9 MB extra at flagship B=32/T=130/V=293). ``filtered`` adds the
-    top-k/top-p pairwise pass's [B, V, _FILTER_CHUNK] comparison transient
-    plus its per-row accumulators."""
+    (~4.9 MB extra at flagship B=32/T=130/V=293). ``filtered`` budgets the
+    top-k/top-p bisection's [B, V] transients — counted once per unrolled
+    iteration because Mosaic's scoped-VMEM liveness does not reliably
+    reuse buffers across an unrolled loop (measured: the earlier pairwise
+    formulation's per-chunk [B, V, 64] transients accumulated to a 31 MB
+    scoped allocation at B=32 despite a 12 MB static estimate)."""
     dc = config.decoder_config
     tc = dc.transformer_config
     d, L, V = tc.model_size, tc.num_layers, dc.output_dim
@@ -83,7 +86,9 @@ def _tile_fits(config, batch: int, max_len: int, mode: str = "sample",
     if mode == "forced":
         act += max_len * batch * V * 4  # full logits output lives in VMEM
     if filtered:
-        act += batch * V * _FILTER_CHUNK * 4 + 4 * batch * V * 4
+        # keys + probs once, plus one [B, V] i32 mask transient per
+        # unrolled bisection iteration (x2: top-k and top-p both on).
+        act += (4 + 2 * _FILTER_ITERS) * batch * V * 4
     return cache + weights + act < _VMEM_BUDGET
 
 
@@ -182,36 +187,64 @@ def _gather_weights(params, config, cdtype):
     return ws
 
 
-def _above_weighted(scaled: jax.Array, weights: jax.Array) -> jax.Array:
-    """For each token i: sum_j weights[j] * [scaled[j] > scaled[i]] per row.
+def _float_sort_keys(x: jax.Array) -> jax.Array:
+    """Monotone f32 -> int32 keys: signed-int compare == float compare.
 
-    The pairwise pass behind the in-kernel support filters. Runs in lane
-    chunks of ``_FILTER_CHUNK`` so the [B, V, chunk] comparison transient
-    stays small (V=293 makes the full pass ~B*V*V ~ 2.7M VPU ops — noise
-    next to one decode step's matmuls). Pure jnp: unit-testable on CPU
-    outside Pallas, legal inside Mosaic (static shapes, no gather/sort).
-    """
-    V = scaled.shape[-1]
-    acc = jnp.zeros(scaled.shape, jnp.float32)
-    for j0 in range(0, V, _FILTER_CHUNK):
-        sj = scaled[:, j0 : j0 + _FILTER_CHUNK]  # [B, C]
-        wj = weights[:, j0 : j0 + _FILTER_CHUNK]
-        gt = sj[:, None, :] > scaled[:, :, None]  # [B, V, C]
-        acc = acc + jnp.sum(jnp.where(gt, wj[:, None, :], 0.0), axis=-1)
-    return acc
+    Standard radix-sort transform: non-negatives keep their bit pattern
+    (already ascending as ints); negatives get their magnitude bits
+    flipped so more-negative floats map to smaller ints. -0.0 is first
+    canonicalized to +0.0 (the two zeros compare equal as floats but
+    would land one key apart) via a ``where`` — an ``x + 0.0`` would be
+    correct IEEE but is exactly the identity XLA licenses itself to
+    fold away."""
+    x = jnp.where(x == 0.0, 0.0, x)
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return i ^ (jax.lax.shift_right_arithmetic(i, 31) & 0x7FFFFFFF)
+
+
+def _threshold_key(keys: jax.Array, weights: jax.Array,
+                   bound: float) -> jax.Array:
+    """Per row: the minimal int32 t with sum(weights[keys > t]) < bound.
+
+    g(t) = strictly-above weighted mass is non-increasing in t, so the
+    answer is found by bisection over the key space — ``_FILTER_ITERS``
+    (=32) halvings close the full int32 range exactly. Branch-free, only
+    [B, V] transients (the earlier pairwise-comparison formulation's 3-D
+    chunks overflowed Mosaic's scoped VMEM at flagship batch). The
+    midpoint is the overflow-safe ``(lo>>1)+(hi>>1)+(lo&hi&1)`` =
+    floor((lo+hi)/2) — lo+hi itself spans 2^32 at the first step.
+
+    Invariants: g(lo) >= bound, g(hi) < bound; both are maintained by the
+    updates and hold initially (g(INT32_MIN) is the total mass, > bound
+    for every caller: top_k < V and top_p < 1 <= total; g(INT32_MAX) = 0
+    < bound). If the total-mass invariant ever failed, hi would converge
+    toward INT32_MIN and the filter would keep everything — the benign
+    direction."""
+    B = keys.shape[0]
+    lo = jnp.full((B, 1), np.iinfo(np.int32).min, jnp.int32)
+    hi = jnp.full((B, 1), np.iinfo(np.int32).max, jnp.int32)
+    for _ in range(_FILTER_ITERS):
+        mid = (lo >> 1) + (hi >> 1) + (lo & hi & 1)
+        g = jnp.sum(jnp.where(keys > mid, weights, 0.0), axis=-1,
+                    keepdims=True)
+        below = g < bound
+        hi = jnp.where(below, mid, hi)
+        lo = jnp.where(below, lo, mid)
+    return hi
 
 
 def filter_support(scaled: jax.Array, top_k: int, top_p: float) -> jax.Array:
     """Top-k / nucleus support restriction without sort or top_k gathers.
 
     Matches ``inference.decode._filter_logits`` (same keep sets, applied to
-    the same temperature-scaled logits) via order statistics recast as
-    pairwise comparisons — Mosaic has no sort/argpartition, but at V=293
-    the O(V^2) pass is trivially cheap:
+    the same temperature-scaled logits) with order statistics recast as
+    threshold searches — Mosaic has no sort/argpartition, so each cutoff
+    value is found by bisection over float-ordered int keys instead:
 
     - top-k: token i survives iff fewer than k tokens are STRICTLY greater
       (exactly "x >= k-th largest counting duplicates", ties kept — the
-      XLA path's ``logits < kth`` arithmetic).
+      XLA path's ``logits < kth`` arithmetic). keys >= t with t the minimal
+      key whose strictly-above COUNT is < k is the same set.
     - top-p: token i survives iff the probability mass of strictly-greater
       tokens is < top_p (exactly the sorted-cumsum "mass before the first
       occurrence" rule; the argmax always survives). Computed over the
@@ -220,14 +253,16 @@ def filter_support(scaled: jax.Array, top_k: int, top_p: float) -> jax.Array:
       token whose boundary distance is below rounding (~1e-6 mass).
     """
     if top_k > 0 and top_k < scaled.shape[-1]:
-        count_above = _above_weighted(scaled, jnp.ones_like(scaled))
-        scaled = jnp.where(count_above < float(top_k), scaled, _NEG_INF)
+        keys = _float_sort_keys(scaled)
+        t = _threshold_key(keys, jnp.ones_like(scaled), float(top_k))
+        scaled = jnp.where(keys >= t, scaled, _NEG_INF)
     if 0.0 < top_p < 1.0:
+        keys = _float_sort_keys(scaled)  # post-top-k order
         m = jnp.max(scaled, axis=-1, keepdims=True)
         ex = jnp.exp(scaled - m)  # filtered rows underflow to exactly 0
         probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
-        mass_above = _above_weighted(scaled, probs)
-        scaled = jnp.where(mass_above < top_p, scaled, _NEG_INF)
+        t = _threshold_key(keys, probs, top_p)
+        scaled = jnp.where(keys >= t, scaled, _NEG_INF)
     return scaled
 
 

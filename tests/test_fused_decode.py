@@ -216,7 +216,7 @@ class TestEligibility:
 
 
 class TestFilterSupport:
-    """The kernel's sortless top-k/top-p (pairwise order statistics) must
+    """The kernel's sortless top-k/top-p (bisection order statistics) must
     keep EXACTLY the token sets of the XLA path's sort-based
     ``_filter_logits`` — a support mismatch would be a correctness bug,
     unlike the documented PRNG draw difference. ``filter_support`` is pure
@@ -286,11 +286,52 @@ class TestFilterSupport:
             kept = np.flatnonzero(got[b] > -1e29)
             assert list(kept) == [best[b]]
 
+    def test_float_sort_keys_order_isomorphic(self):
+        """The f32 -> int32 key transform must preserve ORDER exactly,
+        including negatives, denormals, +-0 (which must tie), and the
+        _NEG_INF sentinel — integer compares on keys stand in for float
+        compares in the bisection."""
+        from musicstyletransfer_tpu.ops.fused_decode import _float_sort_keys
+
+        # (denormals excluded: XLA flushes them to zero, numpy does not —
+        # an FTZ artifact orthogonal to the key transform)
+        vals = np.array([
+            -1e30, -3.5e4, -2.0, -1.0, -1e-30, -0.0, 0.0, 1e-30, 0.5,
+            1.0, 1.0000001, 7.25e8, 3.0e38,
+        ], np.float32)
+        keys = np.asarray(_float_sort_keys(jnp.asarray(vals[None, :])))[0]
+        for i in range(len(vals)):
+            for j in range(len(vals)):
+                assert (keys[i] < keys[j]) == (vals[i] < vals[j]), (i, j)
+                assert (keys[i] == keys[j]) == (vals[i] == vals[j]), (i, j)
+
+    def test_randomized_cross_check_vs_xla_filter(self):
+        """500 random rows x several (k, p) combos, including rows with
+        heavy duplicate plateaus (rounded logits force exact ties at the
+        cut): keep sets must match the sort-based filter exactly."""
+        from musicstyletransfer_tpu.inference.decode import _filter_logits
+        from musicstyletransfer_tpu.ops.fused_decode import filter_support
+
+        rng = np.random.default_rng(2024)
+        smooth = rng.normal(scale=4.0, size=(250, 293)).astype(np.float32)
+        tied = np.round(
+            rng.normal(scale=2.0, size=(250, 293)) * 2
+        ).astype(np.float32) / 2  # half-integer plateaus
+        logits = jnp.asarray(np.concatenate([smooth, tied]))
+        for top_k, top_p in [(5, 0.0), (64, 0.0), (0, 0.3), (0, 0.95),
+                             (16, 0.8)]:
+            ref = np.asarray(_filter_logits(logits, top_k, top_p))
+            got = np.asarray(filter_support(logits, top_k, top_p))
+            np.testing.assert_array_equal(
+                got > -1e29, ref > -1e29,
+                err_msg=f"keep-set mismatch at k={top_k} p={top_p}",
+            )
+
     def test_filtered_budget_and_eligibility(self):
-        """Filtering adds a [B, V, chunk] transient to the VMEM estimate;
-        the flagship config must stay eligible WITH filtering on (that is
-        the point of in-kernel support) and the auto path must now accept
-        top-k/top-p requests."""
+        """Filtering adds the bisection's [B, V] transients to the VMEM
+        estimate; the flagship config must stay eligible WITH filtering on
+        (that is the point of in-kernel support) and the auto path must
+        now accept top-k/top-p requests."""
         cfg = fused_config(dtype="bfloat16")
         assert supports_fused_decode(cfg, batch=32, max_len=130,
                                      filtered=True)
