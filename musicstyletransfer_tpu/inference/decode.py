@@ -268,6 +268,30 @@ class _BeamLoopState(NamedTuple):
     done: jax.Array  # [B*K]
 
 
+def _reorder_rows_mxu(sel: jax.Array, c: jax.Array) -> jax.Array:
+    """Permute rows of c [N, ...] by the one-hot selection matrix sel [N, N].
+
+    A row gather (``jnp.take(c, src, axis=0)``) over the KV cache is the
+    beam loop's dominant cost on TPU — measured 38.5 of 45 ms at the
+    flagship config (B=32, K=4, 130 steps; scripts/beam-profile.py):
+    sublane-axis gathers run at ~57 GB/s against an ~800 GB/s chip. The
+    same permutation as a one-hot MXU matmul runs the whole beam step
+    near its forward-cost floor (45 -> ~10 ms).
+
+    Exactness: every output row is 1.0 * source row summed with zeros —
+    exact for bf16 operands accumulated in f32, and kept exact for f32
+    caches by forcing Precision.HIGHEST (TPU f32 matmuls otherwise
+    truncate through one-pass bf16)."""
+    flat = c.reshape(c.shape[0], -1)
+    out = jax.lax.dot_general(
+        sel.astype(c.dtype), flat,
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(c.dtype).reshape(c.shape)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7),
                    static_argnames=("max_len", "beam_size",
                                     "length_penalty"))
@@ -347,7 +371,12 @@ def decode_beam(
         seqs = jax.lax.dynamic_update_slice(
             seqs, word_idx.reshape(B * K, 1), (0, st.t)
         )
-        cache = jax.tree.map(lambda c: jnp.take(c, flat_src, axis=0), cache)
+        # Cache rows ride the MXU (see _reorder_rows_mxu); the tiny seqs /
+        # done gathers above stay jnp.take (int32, measured noise).
+        sel = jax.nn.one_hot(flat_src, B * K, dtype=jnp.float32)
+        cache = jax.tree.map(
+            functools.partial(_reorder_rows_mxu, sel), cache
+        )
         done = jnp.take(st.done, flat_src, axis=0) | (
             word_idx.reshape(B * K) == EOS_ID
         )

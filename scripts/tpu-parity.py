@@ -278,8 +278,33 @@ def main() -> None:
         assert np.isfinite(np.asarray(w_scores)).all()
         # The best-of-4 cumulative score can't be worse than beam-1's.
         assert (np.asarray(w_scores) <= np.asarray(b_scores) + 1e-3).all()
+        # Replay cross-check: the returned cumulative score must equal the
+        # teacher-forced NLL of the returned tokens. K=1's reorder is the
+        # identity, so only THIS catches a corrupted cache reorder (the
+        # one-hot MXU permutation, _reorder_rows_mxu) — a wrong row yields
+        # O(1)-different logits, far outside MXU reduction noise.
+        replay = np.asarray(
+            xla_forced_logits(model, params, z, classes, w_seqs, T)
+        )  # [B, T-1, V]: row t-1 scores the token emitted at position t
+        for b in range(w.shape[0]):
+            # Score every emitted token up to and including the first EOS
+            # (PAD is a legal *emission* for a live hypothesis — common
+            # under random-init weights — and costs like any token; only
+            # post-EOS PAD filler is cost-free).
+            nll = 0.0
+            for t in range(1, T):
+                tok = w[b, t]
+                row = replay[b, t - 1].astype(np.float64)
+                nll += -(row[tok] - np.log(np.sum(np.exp(row - row.max())))
+                         - row.max())
+                if tok == EOS_ID:
+                    break
+            got = float(np.asarray(w_scores)[b])
+            assert abs(got - nll) <= 0.05 * max(1.0, abs(nll)) + 0.3, (
+                b, got, nll
+            )
         print(f"OK beam search on hardware (K=1≡greedy {agree_b:.1%}, "
-              "K=4 well-formed, scores dominate)")
+              "K=4 well-formed, scores dominate, replay-NLL matches)")
 
     print("ALL TPU PARITY CHECKS PASSED")
 
