@@ -47,7 +47,7 @@ from .optimizer import OptimizerConfig, build_optimizer
 from .train_step import TrainState, create_train_state
 
 
-GAN_METRIC_KEYS = ("d_loss", "d_acc_real", "d_acc_fake", "g_loss")
+GAN_METRIC_KEYS = ("d_loss", "d_acc_real", "d_acc_fake", "g_loss", "d_r1")
 
 
 def init_gan_metric_acc():
@@ -73,6 +73,14 @@ class GANTrainConfig:
     d_learning_rate: float = 5e-5
     label_smoothing: float = 0.0
     negative_label_downweighting: bool = False
+    # R1 gradient penalty (Mescheder et al. 2018): gamma/2 * E_real
+    # ||grad_x D(x)||^2, the standard fix for the divergence BASELINE.md
+    # documents at ~14k unregularized steps (D re-wins, G collapses to
+    # near-noteless output). 0 disables (the reference train.sh surface
+    # has no such knob, so off stays the parity default). The penalty is
+    # well-defined here because D consumes continuous token
+    # DISTRIBUTIONS (one-hot for real), not ids.
+    r1_gamma: float = 0.0
     checkpoint_frequency: int = 5000
     sampling_frequency: int = 1000
     num_samples: int = 8
@@ -133,7 +141,22 @@ def make_gan_steps(config: GANConfig, train_config: GANTrainConfig,
         real = jax.nn.one_hot(real_tokens, V, dtype=jnp.float32)
 
         def loss_fn(d_params):
-            pred_real = disc.apply({"params": d_params}, real, classes)
+            if train_config.r1_gamma > 0.0:
+                # One forward yields both the per-step predictions and
+                # (via has_aux) the input-gradient for the R1 penalty —
+                # the per-timestep head makes this the patch-GAN R1
+                # convention: grad of the SUMMED logits per sample.
+                def d_sum_real(x):
+                    p = disc.apply({"params": d_params}, x, classes)
+                    return jnp.sum(p), p
+
+                gin, pred_real = jax.grad(d_sum_real, has_aux=True)(real)
+                r1 = jnp.mean(jnp.sum(
+                    jnp.square(gin.astype(jnp.float32)), axis=(1, 2)
+                ))
+            else:
+                pred_real = disc.apply({"params": d_params}, real, classes)
+                r1 = jnp.asarray(0.0, jnp.float32)
             pred_fake = disc.apply({"params": d_params}, fake, classes)
             pred = jnp.concatenate([pred_real, pred_fake], axis=1)
             label = jnp.concatenate(
@@ -146,9 +169,10 @@ def make_gan_steps(config: GANConfig, train_config: GANTrainConfig,
                     train_config.negative_label_downweighting
                 ),
             ))
-            return loss, (pred_real, pred_fake)
+            loss = loss + 0.5 * train_config.r1_gamma * r1
+            return loss, (pred_real, pred_fake, r1)
 
-        (loss, (pr, pf)), grads = jax.value_and_grad(
+        (loss, (pr, pf, r1)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(d_state.params)
         updates, opt_state = d_tx.update(grads, d_state.opt_state,
@@ -159,6 +183,7 @@ def make_gan_steps(config: GANConfig, train_config: GANTrainConfig,
             "d_loss": (loss, n),
             "d_acc_real": (jnp.mean(pr > 0.0), n),
             "d_acc_fake": (jnp.mean(pf < 0.0), n),
+            "d_r1": (r1, n),
         }
         new_state = d_state.replace(
             step=d_state.step + 1, params=params, opt_state=opt_state

@@ -216,6 +216,32 @@ class TestGANSteps:
         acc_fake = float(acc["d_acc_fake"][0]) / float(acc["d_acc_fake"][1])
         assert (acc_real + acc_fake) / 2 > 0.7, (acc_real, acc_fake)
 
+    def test_r1_penalty_positive_and_regularizing(self):
+        """r1_gamma > 0 must (a) report a positive d_r1 metric, (b) raise
+        the total D loss by exactly gamma/2 * r1 relative to the
+        unregularized step on identical inputs, and (c) keep the metric
+        key present-but-zero when off (constant accumulator structure)."""
+        cfg = tiny_config()
+        tokens = jnp.asarray(
+            np.random.default_rng(0).integers(3, 12, (4, 8)), jnp.int32
+        )
+        classes = jnp.zeros((4,), jnp.int32)
+
+        def one_step(gamma):
+            tc = GANTrainConfig(r1_gamma=gamma)
+            d_step, _, g_state, d_state = self._states(cfg, tc)
+            _, acc = d_step(d_state, {}, g_state.params, tokens, classes)
+            return (float(acc["d_loss"][0]), float(acc["d_r1"][0]))
+
+        loss_off, r1_off = one_step(0.0)
+        loss_on, r1_on = one_step(10.0)
+        assert r1_off == 0.0
+        assert r1_on > 0.0
+        # Same params/keys/inputs: the only loss difference is the penalty.
+        assert abs((loss_on - loss_off) - 0.5 * 10.0 * r1_on) < 1e-4 * max(
+            1.0, loss_on
+        )
+
     def test_label_smoothing_and_downweighting_run(self):
         cfg = tiny_config()
         tc = GANTrainConfig(label_smoothing=0.1,
