@@ -281,7 +281,12 @@ def _reorder_rows_mxu(sel: jax.Array, c: jax.Array) -> jax.Array:
     Exactness: every output row is 1.0 * source row summed with zeros —
     exact for bf16 operands accumulated in f32, and kept exact for f32
     caches by forcing Precision.HIGHEST (TPU f32 matmuls otherwise
-    truncate through one-pass bf16)."""
+    truncate through one-pass bf16). One caveat vs the gather: a
+    non-finite cache entry poisons its whole column (0 * inf = NaN in
+    every output row) instead of only the hypotheses that select it —
+    acceptable because any non-finite cache means the decode is already
+    garbage; do not "fix" it with an isfinite mask that would hide the
+    corruption."""
     flat = c.reshape(c.shape[0], -1)
     out = jax.lax.dot_general(
         sel.astype(c.dtype), flat,
@@ -371,12 +376,23 @@ def decode_beam(
         seqs = jax.lax.dynamic_update_slice(
             seqs, word_idx.reshape(B * K, 1), (0, st.t)
         )
-        # Cache rows ride the MXU (see _reorder_rows_mxu); the tiny seqs /
-        # done gathers above stay jnp.take (int32, measured noise).
-        sel = jax.nn.one_hot(flat_src, B * K, dtype=jnp.float32)
-        cache = jax.tree.map(
-            functools.partial(_reorder_rows_mxu, sel), cache
-        )
+        # Cache rows ride the MXU on TPU (see _reorder_rows_mxu); the tiny
+        # seqs / done gathers above stay jnp.take (int32, measured noise).
+        # On CPU (the test mesh / non-TPU fallback) there is no systolic
+        # array to exploit and the O(N^2) matmul would just burn N-fold
+        # FLOPs over the O(N) gather — trace-time backend switch, same
+        # idiom as _fused_eligible.
+        from ..ops.flash_attention import should_interpret
+
+        if should_interpret():
+            cache = jax.tree.map(
+                lambda c: jnp.take(c, flat_src, axis=0), cache
+            )
+        else:
+            sel = jax.nn.one_hot(flat_src, B * K, dtype=jnp.float32)
+            cache = jax.tree.map(
+                functools.partial(_reorder_rows_mxu, sel), cache
+            )
         done = jnp.take(st.done, flat_src, axis=0) | (
             word_idx.reshape(B * K) == EOS_ID
         )

@@ -105,13 +105,16 @@ with jax.default_device(dev):
 
         return run
 
-    def timeit(fn, n=8):
+    def make_runner(fn):
         @jax.jit
         def run(total):
             s, sc = fn(z, classes)
             return total + jnp.sum(s) + jnp.sum(sc)
 
-        float(run(jnp.zeros(())))
+        float(run(jnp.zeros(())))  # compile
+        return run
+
+    def time_once(run, n=4):
         t0 = time.perf_counter()
         total = jnp.zeros(())
         for _ in range(n):
@@ -119,38 +122,34 @@ with jax.default_device(dev):
         float(total)
         return (time.perf_counter() - t0) / n * 1e3
 
-    full = timeit(beam_variant("take", True))
-    print(f"take reorder (pre-fix):   {full:.2f} ms")
-    nore = timeit(beam_variant("none", True))
-    print(f"no cache reorder:         {nore:.2f} ms")
-    noseq = timeit(beam_variant("none", False))
-    print(f"no reorder, no seq take:  {noseq:.2f} ms")
-    mm = timeit(beam_variant("matmul", True))
-    print(f"matmul reorder:           {mm:.2f} ms")
-
-    from musicstyletransfer_tpu.inference.decode import decode_beam
-
-    shipped = timeit(lambda zz, cc: decode_beam(model, params, zz, cc,
-                                                max_len, K))
-    print(f"shipped decode_beam:      {shipped:.2f} ms")
-
-    # forward-cost floor: plain sampled loop at B*K rows
-    from musicstyletransfer_tpu.inference.decode import decode_sampled
+    from musicstyletransfer_tpu.inference.decode import decode_beam, decode_sampled
 
     z128 = jnp.repeat(z, K, axis=0)
     c128 = jnp.repeat(classes, K, axis=0)
 
-    @jax.jit
-    def samp(total):
-        s, sc = decode_sampled(model, params, z128, c128, max_len,
-                               jax.random.key(0), use_fused=False)
-        return total + jnp.sum(s) + jnp.sum(sc)
+    variants = [
+        ("take reorder (pre-fix)", beam_variant("take", True)),
+        ("no cache reorder", beam_variant("none", True)),
+        ("no reorder, no seq take", beam_variant("none", False)),
+        ("matmul reorder", beam_variant("matmul", True)),
+        ("shipped decode_beam", lambda zz, cc: decode_beam(
+            model, params, zz, cc, max_len, K)),
+        ("sampled XLA loop B=128", lambda zz, cc: decode_sampled(
+            model, params, z128, c128, max_len, jax.random.key(0),
+            use_fused=False)),
+    ]
+    runners = [(name, make_runner(fn)) for name, fn in variants]
 
-    float(samp(jnp.zeros(())))
-    t0 = time.perf_counter()
-    total = jnp.zeros(())
-    for _ in range(8):
-        total = samp(total)
-    float(total)
-    print(f"sampled XLA loop B=128:   "
-          f"{(time.perf_counter() - t0) / 8 * 1e3:.2f} ms")
+    # Tunnel measurement discipline (CLAUDE.md): single calls spread
+    # ~+-10% run-to-run, so never judge an A/B ratio from one sequential
+    # block per variant — INTERLEAVE rounds across all variants and
+    # report the per-variant median, so drift hits every variant alike.
+    samples = {name: [] for name, _ in runners}
+    for _ in range(5):
+        for name, run in runners:
+            samples[name].append(time_once(run))
+    for name, _ in runners:
+        vals = sorted(samples[name])
+        med = vals[len(vals) // 2]
+        print(f"{name + ':':<26} {med:.2f} ms  "
+              f"(spread {vals[0]:.2f}-{vals[-1]:.2f})")

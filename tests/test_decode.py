@@ -270,3 +270,33 @@ class TestLengthPenalty:
         assert seqs.shape == (2, 12)
         assert np.all(np.asarray(seqs[:, 0]) == SOS_ID)
         assert np.all(np.isfinite(np.asarray(scores)))
+
+
+class TestMXUReorder:
+    """The beam loop's one-hot matmul cache permutation (TPU path; CPU
+    tests take the jnp.take branch) must be BIT-exact against the gather
+    it replaces, for both cache dtypes — the function itself is plain jnp,
+    so the equivalence is pinned here on CPU and the compiled behavior by
+    the replay-NLL check in scripts/tpu-parity.py."""
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_take_bitwise(self, dtype):
+        import jax.numpy as jnp
+
+        from musicstyletransfer_tpu.inference.decode import _reorder_rows_mxu
+
+        rng = np.random.default_rng(11)
+        N = 24
+        c = jnp.asarray(
+            (rng.normal(scale=7.0, size=(N, 9, 2, 5)) ** 3).astype(
+                np.float32
+            )
+        ).astype(dtype)
+        src = jnp.asarray(rng.integers(0, N, (N,)), jnp.int32)  # many-to-one
+        sel = jax.nn.one_hot(src, N, dtype=jnp.float32)
+        got = _reorder_rows_mxu(sel, c)
+        ref = jnp.take(c, src, axis=0)
+        assert got.dtype == c.dtype
+        np.testing.assert_array_equal(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32)
+        )
