@@ -98,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                      help="host->device input prefetch depth (0 disables)")
     tpu.add_argument("--grad-accum-steps", type=int, default=1,
                      help="gradient accumulation micro-steps")
+    tpu.add_argument("--steps-per-dispatch", type=int, default=1,
+                     help="train steps fused into one dispatched program "
+                          "(lax.scan); amortizes host dispatch on small "
+                          "configs — semantics identical, ticks snap to "
+                          "dispatch boundaries")
     tpu.add_argument("--log-param-grad-norms", action="store_true",
                      help="per-parameter gradient-norm TB scalars")
     tpu.add_argument("--profile-dir", type=str, default=None,

@@ -99,6 +99,7 @@ def create_train_config(args) -> TrainConfig:
         seed=args.seed,
         prefetch=args.prefetch,
         grad_accum_steps=args.grad_accum_steps,
+        steps_per_dispatch=args.steps_per_dispatch,
         log_param_grad_norms=args.log_param_grad_norms,
         profile_dir=args.profile_dir,
         rng_impl=args.rng_impl,

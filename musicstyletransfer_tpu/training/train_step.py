@@ -167,17 +167,76 @@ def make_train_step(
         tokens, seq_lens, labels = device_layout_chunks(chunks)
         return step_fn(state, metric_acc, tokens, seq_lens, classes, labels)
 
+    def _scan_of(body_fn):
+        """N steps per dispatch: lax.scan over a leading step axis.
+
+        Semantically identical to N sequential single-step calls (the
+        per-step RNG folds on state.step, which increments inside the
+        scan), but the host issues ONE program instead of N — the fix for
+        dispatch-bound small configs: through the axon tunnel the
+        canonical B=32/L=64 run is limited by host dispatch (~78
+        updates/s), not device time. The metric accumulator rides the
+        scan carry, so it must be key-complete (run_multi seeds it)."""
+
+        def scanned(state, metric_acc, *stacked):
+            def body(carry, xs):
+                return body_fn(*carry, *xs), None
+
+            (state, metric_acc), _ = jax.lax.scan(
+                body, (state, metric_acc), stacked
+            )
+            return state, metric_acc
+
+        return scanned
+
     jitted = jax.jit(step_fn, donate_argnums=(0, 1))
     jitted_raw = jax.jit(raw_step_fn, donate_argnums=(0, 1))
+    jitted_scan = jax.jit(_scan_of(step_fn), donate_argnums=(0, 1))
+    jitted_scan_raw = jax.jit(_scan_of(raw_step_fn), donate_argnums=(0, 1))
     data_sh = batch_sharding(mesh) if mesh is not None else None
+
+    acc_keys_cache: list = []  # lazily-learned full metric keyset
+
+    def _seed_acc(state, metric_acc, inputs):
+        """Key-complete accumulator: missing keys get fresh zero pairs.
+
+        The full keyset is learned once via eval_shape on the single-step
+        function (abstract, no compile). Seeding up front means the jitted
+        program only ever sees ONE accumulator structure — an empty-dict
+        start would otherwise compile the step twice (empty then full),
+        ~10-15 s of extra warmup through the tunnel (measured on the
+        canonical config). Distinct zero arrays per key: the steps donate
+        the accumulator, and donation rejects one buffer appearing twice."""
+        if not acc_keys_cache:
+            shapes = tuple(
+                jax.ShapeDtypeStruct(x.shape, x.dtype) for x in inputs
+            )
+            body = step_fn if len(inputs) == 4 else raw_step_fn
+            if mesh is not None:
+                # Sharding constraints inside the model (sequence
+                # parallelism) resolve axis names against the ambient mesh
+                # even under abstract evaluation.
+                from ..parallel.mesh import use_mesh
+
+                with use_mesh(mesh):
+                    _, acc_shapes = jax.eval_shape(
+                        body, state, metric_acc, *shapes
+                    )
+            else:
+                _, acc_shapes = jax.eval_shape(
+                    body, state, metric_acc, *shapes
+                )
+            acc_keys_cache.append(tuple(acc_shapes.keys()))
+        return {
+            k: metric_acc.get(
+                k, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+            )
+            for k in acc_keys_cache[0]
+        }
 
     def run(state, metric_acc, *inputs):
         fn = jitted if len(inputs) == 4 else jitted_raw
-        if metric_acc is None:
-            # Missing keys are treated as zero inside step_fn, so an empty
-            # dict starts a fresh accumulation period (the structure grows
-            # once on the first step; one extra compile).
-            metric_acc = {}
+        metric_acc = _seed_acc(state, metric_acc or {}, inputs)
         if data_sh is not None:
             # Pre-partition the host->device transfer over the data axis.
             # Inputs already carrying the right sharding (multi-process
@@ -196,11 +255,48 @@ def make_train_step(
                 return fn(state, metric_acc, *inputs)
         return fn(state, metric_acc, *inputs)
 
+    # --- multi-step dispatch (steps_per_dispatch > 1) -------------------
+    stacked_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import AXIS_DATA
+
+        # [N, batch, ...]: step axis unsharded, batch over "data".
+        stacked_sh = NamedSharding(mesh, PartitionSpec(None, AXIS_DATA))
+
+    def run_multi(state, metric_acc, *stacked):
+        """Run stacked.shape[0] steps as ONE dispatched program.
+
+        ``stacked`` carries the same layouts as ``run`` with a leading
+        step axis. The scan carry needs a key-complete accumulator
+        (_seed_acc) — after which semantics match N sequential ``run``
+        calls exactly (per-step RNG folds on the incrementing
+        state.step)."""
+        slices = tuple(
+            jax.ShapeDtypeStruct(x.shape[1:], x.dtype) for x in stacked
+        )
+        metric_acc = _seed_acc(state, metric_acc or {}, slices)
+        fn = jitted_scan if len(stacked) == 4 else jitted_scan_raw
+        if stacked_sh is not None:
+            stacked = tuple(
+                x if isinstance(x, jax.Array) and x.sharding == stacked_sh
+                else jax.device_put(x, stacked_sh)
+                for x in stacked
+            )
+        if mesh is not None:
+            from ..parallel.mesh import use_mesh
+
+            with use_mesh(mesh):
+                return fn(state, metric_acc, *stacked)
+        return fn(state, metric_acc, *stacked)
+
     # Expose the underlying jitted stages so perf tooling (scripts/
     # mfu-sweep.py) can .lower().compile().cost_analysis() the exact
     # program the trainer runs.
     run.jitted = jitted
     run.jitted_raw = jitted_raw
+    run.multi = run_multi
     return run
 
 

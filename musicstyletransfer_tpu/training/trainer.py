@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.dataset import Batch, Dataset, RawBatch
 from ..models.vae import StyleVAE
@@ -76,6 +77,15 @@ class TrainConfig:
     # Retain only the newest N params.* checkpoints (0 = keep all, the
     # reference's behavior).
     keep_checkpoints: int = 0
+    # Train steps fused into ONE dispatched program via lax.scan
+    # (train_step.run_multi). Semantically identical to sequential steps;
+    # the win is host dispatch amortization — the canonical B=32/L=64
+    # config is dispatch-bound through the tunnel (~78 updates/s at 1).
+    # Log/checkpoint/sampling ticks snap to dispatch boundaries (crossing
+    # checks, exact when the frequency is a multiple). 1 = off.
+    # Ignored (with a note) in multi-process mode, where the global-array
+    # assembly is per-batch.
+    steps_per_dispatch: int = 1
 
 
 class _NullWriter:
@@ -149,6 +159,7 @@ class Trainer:
         self._last_log = None
         self._last_ckpt_batches = 0
         self._stop_requested = False
+        self._profiling = False
         self._writer = None
         # One long-lived async checkpointer: saves overlap training instead
         # of blocking the device at every checkpoint tick.
@@ -201,7 +212,14 @@ class Trainer:
             from ..data.prefetch import PrefetchingDataset
             from ..parallel.mesh import batch_sharding
 
-            sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+            # Multi-step dispatch stacks N host batches and uploads once
+            # (train_step.run_multi), so per-batch device placement in the
+            # prefetcher would just bounce arrays back through the host.
+            sharding = (
+                batch_sharding(self.mesh)
+                if self.mesh is not None and cfg.steps_per_dispatch <= 1
+                else None
+            )
             dataset = PrefetchingDataset(dataset, cfg.prefetch, sharding)
         self._stop_requested = False
         restore_handlers = self._install_signal_handlers()
@@ -253,52 +271,28 @@ class Trainer:
         # never end checkpoint-less (the reference only saves on frequency
         # ticks, so short runs left nothing for the sampler to load).
         self._last_ckpt_batches = self.progress.n_batches
+        n_per = max(1, cfg.steps_per_dispatch)
+        if n_per > 1 and self.dist is not None:
+            print("steps_per_dispatch ignored in multi-process mode "
+                  "(global-array assembly is per-batch)")
+            n_per = 1
+        group: list = []
         for epoch in range(epochs):
             for batch in dataset:
-                if cfg.profile_dir is not None:
-                    if self.progress.n_batches == cfg.profile_start:
-                        jax.profiler.start_trace(cfg.profile_dir)
-                    elif self.progress.n_batches == cfg.profile_stop:
-                        jax.profiler.stop_trace()
-                        print(f"Profiler trace written to {cfg.profile_dir}")
-                self._step(batch)
-                self.progress.n_batches += 1
-
-                if self._stop_requested:
-                    self._checkpoint(model_folder, validation_dataset)
-                    print("Stopped on signal; checkpoint "
-                          f"{self.progress.n_checkpoints} written.")
+                group.append(batch)
+                if len(group) < n_per:
+                    continue
+                if self._run_group(group, epoch, model_folder,
+                                   validation_dataset, start_time, dataset):
                     return
-
-                if self.progress.n_batches % cfg.log_every == 0:
-                    self._periodic_log(epoch, start_time)
-
-                if self.progress.n_batches % cfg.checkpoint_frequency == 0:
-                    self._checkpoint(model_folder, validation_dataset)
-                    if (
-                        self.progress.num_checkpoints_not_improved
-                        == cfg.num_checkpoints_not_improved
-                    ):
-                        print(
-                            "Maximum checkpoints not improved reached. "
-                            "Stopping training."
-                        )
-                        return
-
-                if (
-                    self.sampler is not None
-                    and cfg.sampling_frequency > 0
-                    and self.progress.n_batches % cfg.sampling_frequency == 0
-                ):
-                    self.sampler.update_parameters(self.state.params)
-                    self.sampler.process_batch(
-                        batch.to_batch() if isinstance(batch, RawBatch)
-                        else batch,
-                        os.path.join(
-                            model_folder, f"samples/step-{self.progress.n_batches}"
-                        ),
-                        dataset.num_classes(),
-                    )
+                group = []
+            # Epoch-end remainder (< n_per batches): single-step dispatches
+            # — a scan over a different length would be a fresh compile.
+            for b in group:
+                if self._run_group([b], epoch, model_folder,
+                                   validation_dataset, start_time, dataset):
+                    return
+            group = []
         # Normal completion: persist any work since the last checkpoint tick
         # so every finished run is loadable by the sampler/eval CLIs.
         if self.progress.n_batches != self._last_ckpt_batches:
@@ -306,6 +300,86 @@ class Trainer:
             print(f"Final checkpoint {self.progress.n_checkpoints} written.")
 
     # ------------------------------------------------------------------
+
+    def _run_group(self, group, epoch, model_folder, validation_dataset,
+                   start_time, dataset) -> bool:
+        """Dispatch one group of batches (one program when len > 1) and
+        run the periodic ticks. Tick checks are CROSSING checks —
+        ``nb // f > (nb - n) // f`` — which reduce to the single-step
+        ``nb % f == 0`` at n=1 and fire once per crossed boundary
+        otherwise. Returns True when training should stop."""
+        cfg = self.config
+        n = len(group)
+        prev = self.progress.n_batches
+        if cfg.profile_dir is not None:
+            # Snapped to dispatch boundaries: stop first (the trace then
+            # covers whole dispatched programs), start before the group
+            # that crosses profile_start.
+            if prev <= cfg.profile_stop < prev + n and self._profiling:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                print(f"Profiler trace written to {cfg.profile_dir}")
+            if prev <= cfg.profile_start < prev + n and not self._profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                self._profiling = True
+        if n == 1:
+            self._step(group[0])
+        else:
+            self._multi_step(group)
+        self.progress.n_batches += n
+        nb = self.progress.n_batches
+
+        if self._stop_requested:
+            self._checkpoint(model_folder, validation_dataset)
+            print("Stopped on signal; checkpoint "
+                  f"{self.progress.n_checkpoints} written.")
+            return True
+
+        if nb // cfg.log_every > prev // cfg.log_every:
+            self._periodic_log(epoch, start_time)
+
+        if nb // cfg.checkpoint_frequency > prev // cfg.checkpoint_frequency:
+            self._checkpoint(model_folder, validation_dataset)
+            if (
+                self.progress.num_checkpoints_not_improved
+                == cfg.num_checkpoints_not_improved
+            ):
+                print("Maximum checkpoints not improved reached. "
+                      "Stopping training.")
+                return True
+
+        if (
+            self.sampler is not None
+            and cfg.sampling_frequency > 0
+            and nb // cfg.sampling_frequency > prev // cfg.sampling_frequency
+        ):
+            batch = group[-1]
+            self.sampler.update_parameters(self.state.params)
+            self.sampler.process_batch(
+                batch.to_batch() if isinstance(batch, RawBatch) else batch,
+                os.path.join(model_folder, f"samples/step-{nb}"),
+                dataset.num_classes(),
+            )
+        return False
+
+    def _multi_step(self, group) -> None:
+        """Stack the group's host batches along a leading step axis and run
+        them as ONE dispatched scan program (train_step.run_multi)."""
+        if isinstance(group[0], RawBatch):
+            arrays = (
+                np.stack([np.asarray(b.chunks) for b in group]),
+                np.stack([np.asarray(b.classes) for b in group]),
+            )
+        else:
+            arrays = (
+                np.stack([np.asarray(b.tokens) for b in group]),
+                np.stack([np.asarray(b.seq_lens) for b in group]),
+                np.stack([np.asarray(b.classes) for b in group]),
+                np.stack([np.asarray(b.labels) for b in group]),
+            )
+        self.state, self._metric_acc = self.train_step.multi(
+            self.state, self._metric_acc, *arrays
+        )
 
     def _step_inputs(self, batch):
         if isinstance(batch, RawBatch):

@@ -838,3 +838,102 @@ class TestEdgeCases:
 
         with pytest.raises(FileNotFoundError, match="corpus directory"):
             Loader("/nonexistent/path/xyz", 64)
+
+
+class TestStepsPerDispatch:
+    """Multi-step dispatch (train_step.run_multi / TrainConfig.
+    steps_per_dispatch): N scanned steps in one program must be
+    semantically identical to N sequential single-step dispatches — the
+    per-step RNG folds on the incrementing state.step, so trajectories
+    coincide. The dispatch amortization is the whole point on
+    dispatch-bound small configs (BASELINE.md)."""
+
+    def _setup(self, layout_device=False):
+        mel = {"a": [Melody(tokens=np.arange(10, 52, dtype=np.int32))],
+               "b": [Melody(tokens=np.arange(12, 40, dtype=np.int32))]}
+        ds = MelodyDataset(4, 4, mel, seed=3, device_layout=layout_device)
+        cfg = tiny_config(vocab=60, classes=2, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+        step = make_train_step(model, tx, LossConfig())
+        state = create_train_state(params, tx, jax.random.key(7))
+        return ds, step, state, tx, params
+
+    @pytest.mark.parametrize("layout_device", [False, True])
+    def test_multi_matches_sequential(self, layout_device):
+        from musicstyletransfer_tpu.data import RawBatch
+
+        ds, step, state, tx, params = self._setup(layout_device)
+        batches = list(ds)[:4]
+
+        def args_of(b):
+            if isinstance(b, RawBatch):
+                return (np.asarray(b.chunks), np.asarray(b.classes))
+            return tuple(np.asarray(a) for a in (
+                b.tokens, b.seq_lens, b.classes, b.labels))
+
+        s1, m1 = state, None
+        for b in batches:
+            s1, m1 = step(s1, m1, *(jnp.asarray(a) for a in args_of(b)))
+
+        s2 = create_train_state(params, tx, jax.random.key(7))
+        stacked = tuple(
+            np.stack(cols) for cols in zip(*(args_of(b) for b in batches))
+        )
+        s2, m2 = step.multi(s2, None, *stacked)
+
+        assert int(s1.step) == int(s2.step) == len(batches)
+        for a, b in zip(jax.tree.leaves(s1.params),
+                        jax.tree.leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-6, atol=1e-7)
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k][0]), float(m2[k][0]),
+                                       rtol=1e-5, atol=1e-6)
+            assert float(m1[k][1]) == float(m2[k][1])
+
+        # Accumulation continues across dispatches (carry in = carry out).
+        s2, m3 = step.multi(s2, m2, *stacked)
+        assert float(m3["total_loss"][1]) == 2 * len(batches)
+
+    def test_trainer_groups_and_remainder(self, tmp_path):
+        """steps_per_dispatch=4 over an epoch of 6 batches: one scanned
+        group + 2 single-step remainders per epoch; tick bookkeeping
+        (n_batches, final checkpoint) stays exact."""
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        mel = {"a": [Melody(tokens=np.arange(10, 52, dtype=np.int32))] * 3,
+               "b": [Melody(tokens=np.arange(12, 40, dtype=np.int32))] * 3}
+        # Fresh dataset per run: iteration advances the shuffle state, so a
+        # shared instance would feed the two runs different batch orders.
+        make_ds = lambda: MelodyDataset(2, 4, mel, seed=3)  # noqa: E731
+        n_batches = sum(1 for _ in make_ds())
+        assert n_batches % 4 != 0  # remainder path actually exercised
+
+        cfg = tiny_config(vocab=60, classes=2, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+
+        def run(n_per):
+            tcfg = TrainConfig(
+                batch_size=2, sampling_frequency=0,
+                checkpoint_frequency=10 ** 9,
+                num_checkpoints_not_improved=-1, prefetch=0,
+                logdir=str(tmp_path / f"tb{n_per}"),
+                steps_per_dispatch=n_per, seed=0,
+            )
+            t = Trainer(tcfg, model, params, sampler=None)
+            t.fit(make_ds(), str(tmp_path / f"m{n_per}"), epochs=2)
+            return t
+
+        t1, t4 = run(1), run(4)
+        assert t1.progress.n_batches == t4.progress.n_batches == 2 * n_batches
+        for a, b in zip(jax.tree.leaves(t1.state.params),
+                        jax.tree.leaves(t4.state.params)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-5, atol=1e-6)
