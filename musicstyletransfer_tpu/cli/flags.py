@@ -125,7 +125,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="sequence-parallel ring attention: shard the time "
                           "axis over the mesh's model axis and rotate K/V "
                           "chunks via ppermute (with --tp N carrying the "
-                          "ring; pick max-seq-len so L+2 divides N)")
+                          "ring; any max-seq-len works — the time axis is "
+                          "padded to the ring internally)")
     tpu.add_argument("--keep-checkpoints", type=int, default=0,
                      help="retain only the newest N checkpoints (0 = all)")
     tpu.add_argument("--rng-impl", default="rbg",

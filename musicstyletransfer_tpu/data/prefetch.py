@@ -25,12 +25,17 @@ def prefetch_batches(
     batches: Iterable[Batch],
     size: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
+    place: bool = True,
 ) -> Iterator[Batch]:
     """Iterate ``batches`` with ``size`` batches staged ahead.
 
     When ``sharding`` is given (e.g. the mesh's data-axis NamedSharding),
     staging includes the host->device transfer, partitioned across the
     mesh; otherwise arrays are device_put to the default device.
+    ``place=False`` stages HOST batches (preparation still overlaps
+    compute, placement doesn't) — for consumers that re-batch before
+    upload, e.g. multi-step dispatch stacking N batches into one
+    transfer; placing here would bounce every array device->host->device.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     err: list = []
@@ -40,6 +45,8 @@ def prefetch_batches(
     target = sharding if sharding is not None else jax.config.jax_default_device
 
     def stage(batch):
+        if not place:
+            return batch
         if isinstance(batch, RawBatch):
             arrays = (batch.chunks, batch.classes)
             chunks, classes = (
@@ -113,10 +120,12 @@ class PrefetchingDataset:
     """
 
     def __init__(self, dataset, size: int = 2,
-                 sharding: Optional[jax.sharding.Sharding] = None):
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 place: bool = True):
         self._dataset = dataset
         self._size = size
         self._sharding = sharding
+        self._place = place
 
     def num_classes(self) -> int:
         return self._dataset.num_classes()
@@ -128,4 +137,5 @@ class PrefetchingDataset:
         return getattr(self._dataset, name)
 
     def __iter__(self):
-        return prefetch_batches(iter(self._dataset), self._size, self._sharding)
+        return prefetch_batches(iter(self._dataset), self._size,
+                                self._sharding, self._place)

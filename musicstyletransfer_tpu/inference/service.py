@@ -294,17 +294,12 @@ class StyleTransferService:
             (self._tokens_from_midi(midi_bytes), callback, time.perf_counter())
         )
 
-    def _collect_batch(self, block: bool) -> Optional[List]:
+    def _collect_batch(self) -> Optional[List]:
         """Form one micro-batch: up to batch_size requests, flushed after
-        max_wait_ms. ``block=False`` returns None immediately on an empty
-        queue (used while a dispatched batch is in flight, so finishing it
-        is never delayed by the idle-poll timeout)."""
+        max_wait_ms; None on an idle-poll timeout."""
         batch: List = []
         try:
-            if block:
-                batch.append(self._queue.get(timeout=0.05))
-            else:
-                batch.append(self._queue.get_nowait())
+            batch.append(self._queue.get(timeout=0.05))
         except queue.Empty:
             return None
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
@@ -327,7 +322,20 @@ class StyleTransferService:
             latencies_ms=[(now - t0) * 1e3 for _, _, t0 in batch],
         )
         for (_, callback, _), result in zip(batch, results):
-            callback(result)
+            # Per-callback isolation: one requester's raising callback must
+            # not reach _loop's batch-level handler — that would re-invoke
+            # EVERY callback in the batch with the exception, double-firing
+            # requesters that already got their result and 500ing ones
+            # whose results were computed fine.
+            try:
+                callback(result)
+            except Exception:
+                import logging
+
+                self.stats.record_error()
+                logging.getLogger(__name__).exception(
+                    "result callback raised; other requests unaffected"
+                )
 
     def _loop(self) -> None:
         """Sequential serving loop: collect a micro-batch, dispatch,
@@ -345,7 +353,7 @@ class StyleTransferService:
         import logging
 
         while self._running:
-            batch = self._collect_batch(block=True)
+            batch = self._collect_batch()
             if not batch:
                 continue
             # A failing batch (device error, bad callback) must not kill

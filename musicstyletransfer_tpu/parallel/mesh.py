@@ -117,3 +117,25 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 def shard_batch(batch_arrays: Any, mesh: Mesh) -> Any:
     """Place batch arrays (leading batch axis) onto the data axis."""
     return jax.device_put(batch_arrays, batch_sharding(mesh))
+
+
+def unchecked_shard_map():
+    """``shard_map`` with the replication checker OFF, version-portable.
+
+    Manual collectives inside the mapped body (ppermute rings, Pallas
+    calls) trip the checker, whose kwarg was renamed check_rep ->
+    check_vma across jax versions; this is the one place that smooths
+    both over (used by ops/ring_attention.py and parallel/pipeline.py).
+    """
+    import functools
+    import inspect
+
+    try:  # jax >= 0.4.35 exposes shard_map at the top level
+        from jax import shard_map as raw
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as raw
+
+    kw = ("check_vma"
+          if "check_vma" in inspect.signature(raw).parameters
+          else "check_rep")
+    return functools.partial(raw, **{kw: False})

@@ -34,22 +34,9 @@ from jax.sharding import PartitionSpec as P
 
 from .mesh import AXIS_MODEL
 
-import functools as _functools
-import inspect as _inspect
+from .mesh import unchecked_shard_map as _unchecked_shard_map
 
-try:  # jax >= 0.4.35 exposes shard_map at the top level
-    from jax import shard_map as _raw_shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _raw_shard_map
-
-# The replication-checker kwarg was renamed check_rep -> check_vma across
-# jax versions; manual collectives inside (ppermute, pallas) need it off.
-_CHECK_KW = (
-    "check_vma"
-    if "check_vma" in _inspect.signature(_raw_shard_map).parameters
-    else "check_rep"
-)
-_shard_map = _functools.partial(_raw_shard_map, **{_CHECK_KW: False})
+_shard_map = _unchecked_shard_map()
 
 
 def _pipeline_body(

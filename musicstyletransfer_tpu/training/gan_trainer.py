@@ -314,21 +314,31 @@ class GANTrainer:
         g_params, d_params = init_gan_params(self.config, init_rng)
         g_state = create_train_state(g_params, self._g_tx, g_rng)
         d_state = create_train_state(d_params, self._d_tx, d_rng)
-        g_state, d_state, ckpt_idx = self._try_resume(
-            model_folder, g_state, d_state
-        )
+        multiprocess = False
         if self.mesh is not None:
             from . import checkpoint as ckpt_mod
             from .train_step import shard_train_state
 
-            if not ckpt_mod._multiprocess():
-                # Single-process mesh: restore (or init) produced host /
-                # single-device arrays; place them. Multi-process restore
-                # is collective and already returned globally-sharded
-                # arrays (device_get of a non-addressable shard would
-                # throw here) — same guard as the VAE trainer's resume.
+            multiprocess = ckpt_mod._multiprocess()
+            if multiprocess:
+                # Multi-process mesh: shard BEFORE resuming — the
+                # collective restore needs a globally-sharded template to
+                # return globally-sharded arrays (the VAE Trainer shards
+                # in __init__ for the same reason; resuming first would
+                # hand restore a per-process template and leave fresh
+                # inits unsharded entirely).
                 g_state = shard_train_state(g_state, self.mesh)
                 d_state = shard_train_state(d_state, self.mesh)
+        g_state, d_state, ckpt_idx = self._try_resume(
+            model_folder, g_state, d_state
+        )
+        if self.mesh is not None and not multiprocess:
+            from .train_step import shard_train_state
+
+            # Single-process mesh: restore (or init) produced host /
+            # single-device arrays; place them now.
+            g_state = shard_train_state(g_state, self.mesh)
+            d_state = shard_train_state(d_state, self.mesh)
 
         acc: Dict[str, Tuple[jax.Array, jax.Array]] = init_gan_metric_acc()
         n_batches = 0

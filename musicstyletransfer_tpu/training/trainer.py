@@ -214,13 +214,16 @@ class Trainer:
 
             # Multi-step dispatch stacks N host batches and uploads once
             # (train_step.run_multi), so per-batch device placement in the
-            # prefetcher would just bounce arrays back through the host.
+            # prefetcher would bounce every array device->host->device;
+            # place=False keeps staged batches on the host (preparation
+            # still overlaps compute).
+            multi = cfg.steps_per_dispatch > 1
             sharding = (
                 batch_sharding(self.mesh)
-                if self.mesh is not None and cfg.steps_per_dispatch <= 1
-                else None
+                if self.mesh is not None and not multi else None
             )
-            dataset = PrefetchingDataset(dataset, cfg.prefetch, sharding)
+            dataset = PrefetchingDataset(dataset, cfg.prefetch, sharding,
+                                         place=not multi)
         self._stop_requested = False
         restore_handlers = self._install_signal_handlers()
         try:
@@ -228,6 +231,12 @@ class Trainer:
                            start_time)
         finally:
             restore_handlers()
+            if self._profiling:
+                # Training ended inside the profile window (early stop,
+                # exception): finalize the trace rather than leak it.
+                jax.profiler.stop_trace()
+                self._profiling = False
+                print(f"Profiler trace written to {cfg.profile_dir}")
             # Async saves must be durable before fit returns (and before any
             # subsequent resume reads the folder).
             if self._checkpointer is not None:
@@ -312,10 +321,11 @@ class Trainer:
         n = len(group)
         prev = self.progress.n_batches
         if cfg.profile_dir is not None:
-            # Snapped to dispatch boundaries: stop first (the trace then
-            # covers whole dispatched programs), start before the group
-            # that crosses profile_start.
-            if prev <= cfg.profile_stop < prev + n and self._profiling:
+            # Snapped to dispatch boundaries: a running trace stops at the
+            # first boundary AT OR AFTER profile_stop (a window narrower
+            # than one group still terminates — at the next group), and
+            # the trace starts before the group that covers profile_start.
+            if self._profiling and prev >= cfg.profile_stop:
                 jax.profiler.stop_trace()
                 self._profiling = False
                 print(f"Profiler trace written to {cfg.profile_dir}")
