@@ -59,6 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "concurrent requests micro-batch together")
     p.add_argument("--http-host", default="127.0.0.1",
                    help="bind address for --http (default loopback)")
+    p.add_argument("--streaming", action="store_true",
+                   help="continuous batching (--http only): slot-based "
+                        "engine admits requests between decode segments "
+                        "instead of between micro-batches — bounds request "
+                        "latency at moderate load; the micro-batch loop "
+                        "has the higher throughput ceiling")
+    p.add_argument("--slots", type=int, default=32,
+                   help="--streaming: concurrent generation lanes")
+    p.add_argument("--segment-steps", type=int, default=16,
+                   help="--streaming: decode steps per dispatch (the "
+                        "admission granularity)")
     return p
 
 
@@ -194,13 +205,29 @@ def main(argv=None) -> None:
         [int(b) for b in args.buckets.split(",") if b.strip()]
         if args.buckets else None
     )
-    svc = StyleTransferService(
-        args.model_output,
-        checkpoint=args.checkpoint,
-        batch_size=args.batch_size,
-        max_seq_len=args.max_seq_len,
-        buckets=buckets,
-    )
+    if args.streaming:
+        if not args.http:
+            build_parser().error(
+                "--streaming applies to --http serving (directory modes "
+                "are throughput-bound; the micro-batch loop wins there)"
+            )
+        from ..inference.streaming import StreamingTransferEngine
+
+        svc = StreamingTransferEngine(
+            args.model_output,
+            checkpoint=args.checkpoint,
+            slots=args.slots,
+            max_seq_len=args.max_seq_len,
+            segment_steps=args.segment_steps,
+        )
+    else:
+        svc = StyleTransferService(
+            args.model_output,
+            checkpoint=args.checkpoint,
+            batch_size=args.batch_size,
+            max_seq_len=args.max_seq_len,
+            buckets=buckets,
+        )
     if args.http:
         server = serve_http(svc, args.http_host, args.http)
         print(f"serving HTTP on {args.http_host}:{server.server_port} "

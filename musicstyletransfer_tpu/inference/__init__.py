@@ -1,6 +1,7 @@
 from .decode import beam_search, decode_beam, decode_sampled, sample_sequences
 from .sampler import BeamSearchSampler, Sampling, SamplerBase, get_sampler, load_inference_model
 from .service import ServiceStats, StyleTransferService, TransferResult
+from .streaming import StreamingTransferEngine
 from .sharded import (
     prepare_params,
     sharded_sample_sequences,
@@ -18,6 +19,7 @@ __all__ = [
     "get_sampler",
     "load_inference_model",
     "ServiceStats",
+    "StreamingTransferEngine",
     "StyleTransferService",
     "TransferResult",
     "prepare_params",

@@ -81,10 +81,15 @@ class ServiceStats:
             self._batch_errors += 1
 
     def record_batch(self, fill: int, queue_depth_after: int,
-                     latencies_ms: List[float]) -> None:
+                     latencies_ms: List[float],
+                     served: Optional[int] = None) -> None:
+        """``served`` defaults to ``fill`` (micro-batch loop: every row in
+        the batch completes). The streaming engine passes it explicitly —
+        there ``fill`` is slot occupancy and only the requests whose last
+        per-class unit finished this segment count as served."""
         with self._lock:
             self._batches += 1
-            self._served += fill
+            self._served += fill if served is None else served
             self._batch_fills.append(fill)
             self._latencies_ms.extend(latencies_ms)
             self._max_queue_depth = max(

@@ -162,6 +162,41 @@ class MultiHeadSelfAttention(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         return self.w_o(out.reshape(*x.shape[:-1], self.model_size))
 
+    def step_ragged(
+        self, x_t: jax.Array, cache_k: jax.Array, cache_v: jax.Array, t: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Per-row cached decode step: row ``s`` sits at its own position
+        ``t[s]`` (the continuous-batching engine's slots advance
+        independently — inference/streaming.py).
+
+        x_t: [S, D]; t: [S] int32; cache_{k,v}: [S, T_max, H, hd]. Writes
+        (k, v) at ``[s, t[s]]`` and attends over keys ``<= t[s]`` per row.
+        The write is a vectorized one-hot select over the time axis rather
+        than a scatter: per-row dynamic indices lower to a scatter op whose
+        TPU expansion serializes rows, while the select is pure VPU traffic
+        (cache-sized, ~MBs — measured harmless at slot counts this engine
+        runs). Numerically identical to ``step`` when every row shares t:
+        stale cache positions beyond t[s] are masked to -inf before the
+        softmax, so their (arbitrary) contents multiply exact zeros.
+        """
+        S = x_t.shape[0]
+        T = cache_k.shape[1]
+        k_t = self._heads(self.w_k(x_t))[:, None]  # [S, 1, H, hd]
+        v_t = self._heads(self.w_v(x_t))[:, None]
+        q_t = self._heads(self.w_q(x_t))  # [S, H, hd]
+        positions = jnp.arange(T)
+        write = (positions[None, :] == t[:, None])[:, :, None, None]
+        cache_k = jnp.where(write, k_t.astype(cache_k.dtype), cache_k)
+        cache_v = jnp.where(write, v_t.astype(cache_v.dtype), cache_v)
+        logits = jnp.einsum("bhd,bkhd->bhk", q_t, cache_k) / jnp.sqrt(
+            jnp.asarray(self.head_dim, dtype=q_t.dtype)
+        )
+        valid = positions[None, :] <= t[:, None]  # [S, T]
+        logits = jnp.where(valid[:, None, :], logits, _NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhk,bkhd->bhd", probs, cache_v)
+        return self.w_o(out.reshape(S, self.model_size)), cache_k, cache_v
+
     def step(
         self, x_t: jax.Array, cache_k: jax.Array, cache_v: jax.Array, t: jax.Array
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -232,6 +267,14 @@ class TransformerLayer(nn.Module):
         self, x_t: jax.Array, cache: LayerCache, t: jax.Array
     ) -> Tuple[jax.Array, LayerCache]:
         att, ck, cv = self.attention.step(x_t, cache[0], cache[1], t)
+        x_t = self.ln1(x_t + att)
+        x_t = self.ln2(x_t + self.ff(x_t, train=False))
+        return x_t, (ck, cv)
+
+    def step_ragged(
+        self, x_t: jax.Array, cache: LayerCache, t: jax.Array
+    ) -> Tuple[jax.Array, LayerCache]:
+        att, ck, cv = self.attention.step_ragged(x_t, cache[0], cache[1], t)
         x_t = self.ln1(x_t + att)
         x_t = self.ln2(x_t + self.ff(x_t, train=False))
         return x_t, (ck, cv)
@@ -312,6 +355,19 @@ class TransformerStack(nn.Module):
         new_cache = []
         for layer, layer_cache in zip(self.layers, cache):
             x_t, layer_cache = layer.step(x_t, layer_cache, t)
+            new_cache.append(layer_cache)
+        return x_t, tuple(new_cache)
+
+    def step_ragged(
+        self, x_t: jax.Array, cache: Cache, t: jax.Array
+    ) -> Tuple[jax.Array, Cache]:
+        """Per-row-position decode step. x_t: [S, D]; t: [S] int32."""
+        scale = jnp.sqrt(jnp.asarray(self.config.model_size, dtype=x_t.dtype))
+        pos = jnp.take(self.pos_table, t, axis=0)  # [S, D]
+        x_t = scale * x_t + pos.astype(x_t.dtype)
+        new_cache = []
+        for layer, layer_cache in zip(self.layers, cache):
+            x_t, layer_cache = layer.step_ragged(x_t, layer_cache, t)
             new_cache.append(layer_cache)
         return x_t, tuple(new_cache)
 

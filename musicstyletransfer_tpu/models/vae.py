@@ -144,6 +144,14 @@ class VAEDecoder(nn.Module):
         """One decode position from token ids [B]."""
         return self.step_embedded(self.token_emb(token_t), cache, t)
 
+    def step_ragged(
+        self, token_t: jax.Array, cache: Cache, t: jax.Array
+    ) -> Tuple[jax.Array, Cache]:
+        """One decode position with PER-ROW positions ``t`` [S] — the
+        continuous-batching engine's slots (inference/streaming.py)."""
+        h_t, cache = self.decoder.step_ragged(self.token_emb(token_t), cache, t)
+        return self.output_layer(h_t.astype(jnp.float32)), cache
+
     def prefill(self, z: jax.Array, classes: jax.Array, max_len: int) -> Cache:
         """Build the cache and process position 0 (the conditioning state).
 
@@ -213,6 +221,11 @@ class StyleVAE(nn.Module):
     def decode_init(self, z: jax.Array, classes: jax.Array) -> jax.Array:
         """[B, D] conditioning state (the fused decode kernel's position 0)."""
         return self.decoder.initial_state(z, classes)
+
+    def decode_step_ragged(
+        self, token_t: jax.Array, cache: Cache, t: jax.Array
+    ) -> Tuple[jax.Array, Cache]:
+        return self.decoder.step_ragged(token_t, cache, t)
 
 
 def make_model(config: ModelConfig) -> StyleVAE:

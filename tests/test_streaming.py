@@ -1,0 +1,339 @@
+"""Continuous-batching streaming engine tests (inference/streaming.py).
+
+Correctness rests on two pins:
+
+1. the ragged per-row decode step (models/transformer.py::step_ragged)
+   equals the scalar-position step both when rows share a position and
+   when each row sits at its OWN position (assembled from per-row runs);
+2. the engine end-to-end: a greedily decoded request through the slot
+   machinery emits exactly the tokens of the batch path's greedy
+   ``sample_sequences`` at the same budget, and requests admitted
+   mid-flight (staggered) still match their individual batch-path runs.
+"""
+
+import os
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from musicstyletransfer_tpu.midi import smf
+from musicstyletransfer_tpu.midi.codec import Melody, MelodyWriter
+from musicstyletransfer_tpu.midi.vocab import PAD_ID, SOS_ID, note_on_id, timeshift_id
+from musicstyletransfer_tpu.models import init_params, make_model
+from musicstyletransfer_tpu.models.vae import StyleVAE
+from tests.test_model import tiny_config
+
+
+@pytest.fixture(scope="module")
+def model_folder(tmp_path_factory):
+    from musicstyletransfer_tpu.training import (
+        OptimizerConfig,
+        build_optimizer,
+        create_train_state,
+        save_checkpoint,
+    )
+
+    folder = str(tmp_path_factory.mktemp("stream-model"))
+    cfg = tiny_config(vocab=293, classes=2, latent=8, size=16, heads=2,
+                      layers=2)
+    cfg.save(os.path.join(folder, "config"))
+    model = make_model(cfg)
+    params = init_params(model, jax.random.key(0), max_seq_len=8)
+    tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
+    save_checkpoint(folder, 1, create_train_state(params, tx, jax.random.key(0)))
+    return folder
+
+
+def _midi_bytes(pitches):
+    tokens = []
+    for p in pitches:
+        tokens += [note_on_id(p), timeshift_id(120)]
+    melody = Melody(tokens=np.asarray(tokens, np.int32))
+    return smf.dump_midifile(MelodyWriter().to_midifile(melody))
+
+
+class TestRaggedStep:
+    def test_uniform_positions_match_scalar_step(self):
+        """All rows at the same t: step_ragged == step, bitwise."""
+        cfg = tiny_config()
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=6)
+        B, T = 4, 8
+        cache = model.apply({"params": params},
+                            jnp.zeros((B, 8), jnp.float32),
+                            jnp.zeros((B,), jnp.int32), T,
+                            method=StyleVAE.decode_prefill)
+        toks = jnp.asarray([1, 3, 5, 7], jnp.int32)
+        for t in (1, 2, 3):
+            logits_s, cache_s = model.apply(
+                {"params": params}, toks, cache, jnp.asarray(t),
+                method=StyleVAE.decode_step,
+            )
+            logits_r, cache_r = model.apply(
+                {"params": params}, toks, cache, jnp.full((B,), t, jnp.int32),
+                method=StyleVAE.decode_step_ragged,
+            )
+            np.testing.assert_array_equal(np.asarray(logits_s),
+                                          np.asarray(logits_r))
+            for (ks, vs), (kr, vr) in zip(cache_s, cache_r):
+                np.testing.assert_array_equal(np.asarray(ks), np.asarray(kr))
+                np.testing.assert_array_equal(np.asarray(vs), np.asarray(vr))
+            cache = cache_s
+
+    def test_staggered_positions_match_per_row_runs(self):
+        """Rows at DIFFERENT positions: one ragged call equals each row
+        advanced independently through the scalar step at its own t."""
+        cfg = tiny_config()
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=6)
+        T = 8
+        rows_t = [1, 3, 2, 4]
+        B = len(rows_t)
+        rng = np.random.default_rng(0)
+
+        # Build each row's cache individually: prefill + (t-1) scalar steps.
+        row_caches, row_logits = [], []
+        for r, t_r in enumerate(rows_t):
+            cache = model.apply({"params": params},
+                                jnp.full((1, 8), 0.1 * r, jnp.float32),
+                                jnp.zeros((1,), jnp.int32), T,
+                                method=StyleVAE.decode_prefill)
+            for t in range(1, t_r):
+                tok = jnp.asarray([int(rng.integers(1, 9))], jnp.int32)
+                _, cache = model.apply({"params": params}, tok, cache,
+                                       jnp.asarray(t),
+                                       method=StyleVAE.decode_step)
+            tok = jnp.asarray([r + 1], jnp.int32)
+            logits, cache = model.apply({"params": params}, tok, cache,
+                                        jnp.asarray(t_r),
+                                        method=StyleVAE.decode_step)
+            row_caches.append(cache)
+            row_logits.append(np.asarray(logits)[0])
+
+        # Assemble the pre-step caches into one batch and take ONE ragged
+        # step at per-row positions.
+        rng = np.random.default_rng(0)
+        batch_cache = []
+        pre_caches = []
+        for r, t_r in enumerate(rows_t):
+            cache = model.apply({"params": params},
+                                jnp.full((1, 8), 0.1 * r, jnp.float32),
+                                jnp.zeros((1,), jnp.int32), T,
+                                method=StyleVAE.decode_prefill)
+            for t in range(1, t_r):
+                tok = jnp.asarray([int(rng.integers(1, 9))], jnp.int32)
+                _, cache = model.apply({"params": params}, tok, cache,
+                                       jnp.asarray(t),
+                                       method=StyleVAE.decode_step)
+            pre_caches.append(cache)
+        n_layers = len(pre_caches[0])
+        for li in range(n_layers):
+            k = jnp.concatenate([pc[li][0] for pc in pre_caches], axis=0)
+            v = jnp.concatenate([pc[li][1] for pc in pre_caches], axis=0)
+            batch_cache.append((k, v))
+        toks = jnp.asarray([r + 1 for r in range(B)], jnp.int32)
+        t_vec = jnp.asarray(rows_t, jnp.int32)
+        logits_r, cache_r = model.apply(
+            {"params": params}, toks, tuple(batch_cache), t_vec,
+            method=StyleVAE.decode_step_ragged,
+        )
+        logits_r = np.asarray(logits_r)
+        for r in range(B):
+            np.testing.assert_allclose(logits_r[r], row_logits[r],
+                                       rtol=1e-6, atol=1e-6)
+            for li in range(n_layers):
+                np.testing.assert_allclose(
+                    np.asarray(cache_r[li][0])[r],
+                    np.asarray(row_caches[r][li][0])[0],
+                    rtol=1e-6, atol=1e-6,
+                )
+
+
+class TestEngineEquivalence:
+    def test_greedy_matches_batch_path(self, model_folder):
+        """One request through the slot machinery == sample_sequences
+        greedy at the same budget, token for token."""
+        from musicstyletransfer_tpu.inference.decode import sample_sequences
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4, greedy=True,
+        )
+        midi = _midi_bytes((60, 64, 67))
+        result = eng.submit_midi(midi)
+        toks = eng._tokens_from_midi(midi)
+        m = len(toks)
+        budget = min(2 * (m + 1), eng.t_gen)
+
+        tokens = np.full((1, eng.max_seq_len + 1), PAD_ID, np.int32)
+        tokens[0, 0] = SOS_ID
+        tokens[0, 1 : m + 1] = toks
+        seq_lens = jnp.asarray([m + 1], jnp.int32)
+        for c in range(eng.num_classes):
+            ref_seqs, _ = sample_sequences(
+                eng.model, eng.params, jnp.asarray(tokens), seq_lens,
+                jnp.full((1,), c, jnp.int32), budget, jax.random.key(0),
+                greedy=True, use_fused=False,
+            )
+            ref = np.asarray(ref_seqs)[0]  # [budget], SOS at 0
+            got = result.tokens_by_class[c]
+            # Engine result is the post-detokenize melody id stream; rebuild
+            # the raw row comparison from the reference by stripping
+            # specials the same way melody_from_ids does.
+            from musicstyletransfer_tpu.midi.codec import melody_from_ids
+
+            ref_melody = melody_from_ids(ref)
+            np.testing.assert_array_equal(got, ref_melody.tokens)
+
+    def test_staggered_admissions_match_batch_path(self, model_folder):
+        """Requests admitted on DIFFERENT cycles (slots mid-flight) each
+        still reproduce their individual batch-path greedy decode."""
+        from musicstyletransfer_tpu.inference.decode import sample_sequences
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+        from musicstyletransfer_tpu.midi.codec import melody_from_ids
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=8, max_seq_len=8,
+            segment_steps=2, admit_size=4, greedy=True,
+        )
+        reqs = [(60, 64), (55, 59, 62, 65), (70,)]
+        midis = [_midi_bytes(p) for p in reqs]
+        results = {}
+        events = {}
+
+        def cb_for(i):
+            def cb(r):
+                results[i] = r
+                events[i].set()
+            return cb
+
+        # Admit request 0, advance a couple of cycles, then admit 1 and 2:
+        # slots now sit at different positions.
+        for i in range(len(midis)):
+            events[i] = threading.Event()
+        eng.enqueue(midis[0], cb_for(0))
+        eng._cycle(block=False)
+        eng._cycle(block=False)
+        eng.enqueue(midis[1], cb_for(1))
+        eng.enqueue(midis[2], cb_for(2))
+        for _ in range(100):
+            eng._cycle(block=False)
+            if all(e.is_set() for e in events.values()):
+                break
+        assert all(e.is_set() for e in events.values())
+
+        for i, midi in enumerate(midis):
+            toks = eng._tokens_from_midi(midi)
+            m = len(toks)
+            budget = min(2 * (m + 1), eng.t_gen)
+            tokens = np.full((1, eng.max_seq_len + 1), PAD_ID, np.int32)
+            tokens[0, 0] = SOS_ID
+            tokens[0, 1 : m + 1] = toks
+            seq_lens = jnp.asarray([m + 1], jnp.int32)
+            for c in range(eng.num_classes):
+                ref_seqs, _ = sample_sequences(
+                    eng.model, eng.params, jnp.asarray(tokens), seq_lens,
+                    jnp.full((1,), c, jnp.int32), budget, jax.random.key(0),
+                    greedy=True, use_fused=False,
+                )
+                ref_melody = melody_from_ids(np.asarray(ref_seqs)[0])
+                np.testing.assert_array_equal(
+                    results[i].tokens_by_class[c], ref_melody.tokens,
+                    err_msg=f"request {i} class {c}",
+                )
+
+
+class TestEngineServing:
+    def test_threaded_loop_serves_concurrent_requests(self, model_folder):
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=8, max_seq_len=8,
+            segment_steps=4, admit_size=8,
+        )
+        eng.start()
+        try:
+            n = 6
+            done = threading.Event()
+            out = []
+
+            def cb(r):
+                out.append(r)
+                if len(out) >= n:
+                    done.set()
+
+            for i in range(n):
+                eng.enqueue(_midi_bytes((50 + i, 60 + i)), cb)
+            assert done.wait(timeout=120)
+        finally:
+            eng.stop()
+        assert len(out) == n
+        for r in out:
+            assert not isinstance(r, Exception)
+            assert set(r.midi_by_class) == {0, 1}
+            for midi in r.midi_by_class.values():
+                assert smf.parse_midifile(midi).resolution > 0
+        snap = eng.stats.snapshot()
+        assert snap["requests_served"] == n
+        assert snap["latency_p50_ms"] > 0
+
+    def test_failure_fails_requests_fast(self, model_folder):
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=2, admit_size=4,
+        )
+        boom = RuntimeError("injected")
+
+        def exploding(*a, **k):
+            raise boom
+
+        eng._run_segment = exploding
+        got = []
+        ev = threading.Event()
+
+        def cb(r):
+            got.append(r)
+            ev.set()
+
+        eng.enqueue(_midi_bytes((60,)), cb)
+        with pytest.raises(RuntimeError):
+            eng.submit_midi(_midi_bytes((62,)))
+        assert ev.wait(timeout=10)
+        assert any(isinstance(g, Exception) for g in got)
+        # Engine state was reset; slots all free again.
+        assert sorted(eng._free_slots) == list(range(4))
+        assert not eng._unit_by_slot
+
+    def test_budget_and_eos_semantics(self, model_folder):
+        """Generated rows never exceed the per-request budget and PAD
+        follows completion (slot rows stay clean for reuse)."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4,
+        )
+        midi = _midi_bytes((60, 64))
+        m = len(eng._tokens_from_midi(midi))
+        budget = min(2 * (m + 1), eng.t_gen)
+        r = eng.submit_midi(midi)
+        for c, toks in r.tokens_by_class.items():
+            # melody tokens exclude specials; at most budget-1 generated.
+            assert len(toks) <= budget - 1
