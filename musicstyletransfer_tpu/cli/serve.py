@@ -62,14 +62,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--streaming", action="store_true",
                    help="continuous batching (--http only): slot-based "
                         "engine admits requests between decode segments "
-                        "instead of between micro-batches — bounds request "
-                        "latency at moderate load; the micro-batch loop "
-                        "has the higher throughput ceiling")
-    p.add_argument("--slots", type=int, default=32,
-                   help="--streaming: concurrent generation lanes")
-    p.add_argument("--segment-steps", type=int, default=16,
+                        "instead of between micro-batches — matches the "
+                        "micro-batch loop's throughput at moderate load "
+                        "with lower median request latency (measured in "
+                        "BASELINE.md)")
+    p.add_argument("--slots", type=int, default=128,
+                   help="--streaming: concurrent generation lanes "
+                        "(throughput scales with slots while the harvest "
+                        "round trip dominates slot residency)")
+    p.add_argument("--segment-steps", type=int, default=32,
                    help="--streaming: decode steps per dispatch (the "
                         "admission granularity)")
+    p.add_argument("--admit-size", type=int, default=16,
+                   help="--streaming: max (request x class) units encoded "
+                        "into free slots per cycle")
+    p.add_argument("--harvest-delay-ms", type=float, default=None,
+                   help="--streaming: time given to each cycle readout's "
+                        "async device->host copy before harvesting it "
+                        "(default: auto per backend)")
     return p
 
 
@@ -219,6 +229,9 @@ def main(argv=None) -> None:
             slots=args.slots,
             max_seq_len=args.max_seq_len,
             segment_steps=args.segment_steps,
+            admit_size=args.admit_size,
+            harvest_delay_s=(None if args.harvest_delay_ms is None
+                             else args.harvest_delay_ms / 1e3),
         )
     else:
         svc = StyleTransferService(

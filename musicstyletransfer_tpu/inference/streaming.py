@@ -7,15 +7,42 @@ arriving just after a batch starts waits out the entire previous cycle
 batch boundary with SLOTS: a fixed number of independent generation lanes
 whose KV caches live in one set of donated device buffers, advanced
 ``segment_steps`` decode positions per dispatch. New requests are encoded
-and spliced into free slots between segments, so admission granularity is
-one segment (~a few ms of decode) instead of one batch.
+and spliced into free slots in the SAME dispatch, so admission granularity
+is one segment (~a few ms of decode) instead of one batch.
 
 This is the TPU-native shape of vLLM-style continuous batching: static
 shapes everywhere (S slots, fixed cache length, fixed admit width), per-row
 ragged positions (models/transformer.py::step_ragged) instead of dynamic
-batch membership, and state that never leaves the device — the host only
-fetches the small per-slot readouts (done flags, positions, token rows)
-each segment.
+batch membership, and state that never leaves the device.
+
+Dispatch economics (the first measured iteration of this engine was 6x
+slower than designed, entirely from per-cycle host<->device call overhead
+through the axon tunnel; the measured per-call costs that shaped this
+design are in BASELINE.md's streaming study):
+
+- uploads and execute dispatches are ASYNC through the tunnel (sub-ms on
+  the host); only a host FETCH of fresh results pays the full ~25-30 ms
+  round trip. So the engine is built to never block on a fetch:
+- ONE jitted program per cycle: admission (encode + cache splice) and the
+  K-step decode scan are fused into one dispatch. All admission operands
+  travel as a single packed int32 array; no-admit cycles reuse a cached
+  device-resident placeholder (zero uploads). The PRNG key lives IN the
+  donated device state and the temperature is uploaded once;
+- each cycle's readout (done mask + token rows packed in one int16
+  buffer — a dtype-narrowed copy, so it cannot alias the donated state
+  the next cycle consumes) starts a device->host copy IMMEDIATELY via
+  copy_to_host_async; the loop harvests the NEWEST readout whose copy has
+  had ``harvest_delay_s`` to land, dropping older ones (a done flag stays
+  set in every later readout until the slot is reused, so newer strictly
+  dominates). The dispatcher thus free-runs at device/dispatch speed and
+  the round trip costs latency (~one delay) but never throughput;
+- harvesting a late readout needs an admission-epoch guard: a slot freed
+  by cycle N's harvest can be re-admitted in cycle N+k, whose stale done
+  flag from cycles <N+k must not complete the new unit
+  (``_Unit.admit_cycle``). Symmetrically the dispatcher stops issuing
+  cycles once every unit is past its budget-implied completion bound
+  (``_Unit.max_done_cycle``) — further dispatches could not change any
+  readout.
 
 Semantics match the service path: each request is style-transferred into
 EVERY target class (reference sampler.py:93-104 — the encoder also sees
@@ -23,10 +50,13 @@ the target class), deterministic encode (z = mu), per-sequence EOS stop,
 generation budget 2x the input length (reference sampler.py:164). A
 request completes when all of its per-class units do.
 
-Trade-off (measured in BASELINE.md): the batch service amortizes dispatch
-over a whole decode budget and rides the fused Pallas kernel, so its
-THROUGHPUT ceiling is higher; this engine bounds request LATENCY at
-moderate load — pick per deployment, both ship.
+Measured trade-off (BASELINE.md "streaming engine dispatch study"): at up
+to ~90% of the micro-batch service's capacity this engine matches its
+sustained throughput (418 vs 426 req/s at 445 offered) while cutting
+median request latency 1.4-1.5x (p50 49 vs 75 ms); its capacity scales
+with ``slots`` while the harvest round trip dominates slot residency. The
+batch service remains the pick for closed-loop bulk transfers (directory
+mode), where latency is irrelevant and its fused Pallas decode wins.
 """
 
 from __future__ import annotations
@@ -62,12 +92,13 @@ class SlotState(NamedTuple):
     budget: jax.Array  # [S] int32 generation budget (max positions)
     done: jax.Array  # [S] bool
     occupied: jax.Array  # [S] bool
+    rng: jax.Array  # PRNG key threaded through cycles (never leaves device)
 
 
 @functools.partial(jax.jit, static_argnums=(0,),
-                   static_argnames=("slots", "t_gen", "t_cache"))
+                   static_argnames=("slots", "t_gen", "t_cache", "seed"))
 def _init_state(model: StyleVAE, params, slots: int, t_gen: int,
-                t_cache: int) -> SlotState:
+                t_cache: int, seed: int = 0) -> SlotState:
     dummy_z = jnp.zeros(
         (slots, model.config.encoder_config.latent_dim), jnp.float32
     )
@@ -84,11 +115,11 @@ def _init_state(model: StyleVAE, params, slots: int, t_gen: int,
         budget=jnp.zeros((slots,), jnp.int32),
         done=jnp.zeros((slots,), bool),
         occupied=jnp.zeros((slots,), bool),
+        rng=jax.random.key(seed),
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(2,))
-def _admit(
+def _admit_into(
     model: StyleVAE,
     params,
     state: SlotState,
@@ -102,7 +133,7 @@ def _admit(
     selected slots: write the conditioning state's position-0 K/V, reset the
     slot's token row / score / position / budget. ``slot_sel`` rows are
     one-hot over DISTINCT slots (host-guaranteed); padding rows are all-zero
-    so they select and reset nothing.
+    so they select and reset nothing. Traced inside ``_cycle_program``.
     """
     S = state.seqs.shape[0]
     mu, _ = model.apply(
@@ -143,33 +174,55 @@ def _admit(
         budget=jnp.where(written, new_budget, state.budget),
         done=jnp.where(written, False, state.done),
         occupied=state.occupied | written,
+        rng=state.rng,
     )
 
 
 @functools.partial(
     jax.jit, static_argnums=(0,), donate_argnums=(2,),
-    static_argnames=("segment_steps", "top_k", "top_p", "greedy"),
+    static_argnames=("segment_steps", "top_k", "top_p", "greedy", "admit"),
 )
-def _segment(
+def _cycle_program(
     model: StyleVAE,
     params,
     state: SlotState,
-    rng: jax.Array,
+    admission: jax.Array,  # [A, L+5] packed int32 (see below)
     temperature: jax.Array,
     segment_steps: int,
     top_k: int = 0,
     top_p: float = 0.0,
     greedy: bool = False,
-) -> Tuple[SlotState, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Advance every live slot ``segment_steps`` decode positions.
+    admit: bool = True,
+) -> Tuple[SlotState, jax.Array]:
+    """One engine cycle in ONE dispatch: (optionally) admit new units, then
+    advance every live slot ``segment_steps`` decode positions.
 
+    ``admission`` packs every admission operand into ONE int32 array so an
+    admit cycle costs a single host->device transfer (columns: SOS-prefixed
+    tokens [0:L+1], then seq_len, class, budget, slot index; slot index -1
+    marks a padding row — its one-hot is all-zero so it splices nothing).
     Done/empty slots still ride the batched math (static shapes) but their
-    writes are masked out. Returns (state, seqs, t, done, scores); the
-    readouts may ALIAS the state buffers (which are donated into the next
-    dispatch), so the host must fetch them before dispatching the next
-    segment — the engine loop is sequential by construction.
+    writes are masked out. Returns (state, readout) where readout packs the
+    done mask (column 0) and the token rows into one int16 [S, 1+T_gen]
+    buffer — a dtype-NARROWED copy, guaranteed distinct from the donated
+    state buffers, so the host can fetch cycle N's readout after
+    dispatching cycle N+1. ``admit=False`` compiles a second variant with
+    the encoder sliced out for idle-admission cycles.
     """
     S, T_gen = state.seqs.shape
+    if admit:
+        L1 = admission.shape[1] - 4  # L+1 token columns
+        slot_sel = jax.nn.one_hot(  # -1 (padding) -> all-zero row
+            admission[:, L1 + 3], S, dtype=jnp.float32
+        )
+        state = _admit_into(
+            model, params, state,
+            tokens=admission[:, :L1],
+            seq_lens=admission[:, L1],
+            classes=admission[:, L1 + 1],
+            slot_sel=slot_sel,
+            budgets=admission[:, L1 + 2],
+        )
     positions = jnp.arange(T_gen)
 
     def body(st: SlotState, key):
@@ -194,11 +247,16 @@ def _segment(
         )
         t = jnp.where(active, st.t + 1, st.t)
         return SlotState(cache, seqs, scores, t, st.budget, done,
-                         st.occupied), None
+                         st.occupied, st.rng), None
 
-    keys = jax.random.split(rng, segment_steps)
-    state, _ = jax.lax.scan(body, state, keys)
-    return state, state.seqs, state.t, state.done, state.scores
+    keys = jax.random.split(state.rng, segment_steps + 1)
+    state = state._replace(rng=keys[0])
+    state, _ = jax.lax.scan(body, state, keys[1:])
+    readout = jnp.concatenate(
+        [state.done.astype(jnp.int16)[:, None], state.seqs.astype(jnp.int16)],
+        axis=1,
+    )
+    return state, readout
 
 
 @dataclasses.dataclass
@@ -207,6 +265,12 @@ class _Unit:
 
     request: "_Request"
     target_class: int
+    admit_cycle: int  # first cycle this unit advanced in (harvest guard)
+    # Upper bound on the cycle whose readout must show this unit done (the
+    # budget exhausts then even without EOS): the dispatcher stops issuing
+    # cycles once every unit is past its bound — further dispatches could
+    # not change any readout.
+    max_done_cycle: int = 0
 
 
 @dataclasses.dataclass
@@ -241,15 +305,16 @@ class StreamingTransferEngine:
         model_folder: str,
         checkpoint: Optional[int] = -1,
         *,
-        slots: int = 32,
+        slots: int = 128,
         max_seq_len: int = 64,
-        segment_steps: int = 16,
-        admit_size: int = 8,
+        segment_steps: int = 32,
+        admit_size: int = 16,
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 0.0,
         greedy: bool = False,
         seed: int = 0,
+        harvest_delay_s: Optional[float] = None,
     ):
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
@@ -281,7 +346,9 @@ class StreamingTransferEngine:
         # conditioning state at position 0.
         self.t_gen = 2 * (self.max_seq_len + 1)
         self.t_cache = self.t_gen + 1
-        self._rng = jax.random.key(seed)
+        # The per-step PRNG key lives inside the device state (SlotState.rng)
+        # so drawing it costs no per-cycle transfer or host dispatch.
+        self._seed = int(seed)
         self._writer = MelodyWriter()
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
@@ -291,6 +358,34 @@ class StreamingTransferEngine:
         self._unit_by_slot: Dict[int, _Unit] = {}
         self._free_slots: List[int] = list(range(self.slots))
         self._state: Optional[SlotState] = None
+        self._cycle_idx = 0
+        # In-flight readouts, oldest first: (cycle_idx, packed int16
+        # [S, 1+T_gen] device array, dispatch wall time). Each dispatch
+        # starts an ASYNC device->host copy of its readout; the loop
+        # harvests the NEWEST entry whose copy has had ``_harvest_delay``
+        # seconds to land (older entries are strictly dominated — a done
+        # flag stays set in every later readout until the slot is reused,
+        # and its token row no longer changes). The list self-bounds at
+        # ~cycle_rate x delay entries because every pass drops all entries
+        # at-or-before the harvested one.
+        self._pending: List[Tuple[int, jax.Array, float]] = []
+        if harvest_delay_s is not None:
+            self._harvest_delay = float(harvest_delay_s)
+        else:
+            # Through the axon tunnel a fresh-result fetch costs a ~25-30ms
+            # round trip, but copy_to_host_async makes it free once the
+            # copy has landed (measured in BASELINE.md's streaming study);
+            # locally-attached backends fetch in microseconds.
+            plat = next(
+                iter(jax.tree_util.tree_leaves(self.params)[0].devices())
+            ).platform
+            self._harvest_delay = 0.028 if plat in ("tpu", "axon") else 0.0
+        # One-time device constants, uploaded lazily by _ensure_state (in
+        # the engine thread's device context): the no-admit placeholder
+        # admission array and the temperature scalar. Caching them makes a
+        # no-admit cycle upload NOTHING through the tunnel.
+        self._empty_admission_dev: Optional[jax.Array] = None
+        self._temp_dev: Optional[jax.Array] = None
 
     # -- request preparation (same semantics as the batch service) -------
 
@@ -306,8 +401,8 @@ class StreamingTransferEngine:
 
     def enqueue(self, midi_bytes: bytes, callback: Callable) -> None:
         """Queue a request; ``callback(TransferResult)`` fires when every
-        target class has been generated. On a failed admission/segment the
-        callback receives the Exception (same contract as the service)."""
+        target class has been generated. On a failed cycle the callback
+        receives the Exception (same contract as the service)."""
         self._queue.put(
             (self._tokens_from_midi(midi_bytes), callback, time.perf_counter())
         )
@@ -352,8 +447,11 @@ class StreamingTransferEngine:
         if self._state is None:
             self._state = _init_state(
                 self.model, self.params, slots=self.slots, t_gen=self.t_gen,
-                t_cache=self.t_cache,
+                t_cache=self.t_cache, seed=self._seed,
             )
+        if self._empty_admission_dev is None:
+            self._empty_admission_dev = jnp.asarray(self._pack_admission([]))
+            self._temp_dev = jnp.asarray(self.temperature, jnp.float32)
 
     def _collect_arrivals(self, block: bool) -> List[Tuple]:
         """Pop queued requests that fit the free slots / admit width."""
@@ -371,55 +469,116 @@ class StreamingTransferEngine:
             arrivals.append(item)
             budget_slots -= self.num_classes
             budget_units -= self.num_classes
-            block = False
         return arrivals
 
-    def _admit_arrivals(self, arrivals: List[Tuple]) -> None:
-        A = self.admit_size
+    def _pack_admission(self, rows: List[Tuple]) -> np.ndarray:
+        """Build the packed admission array (layout: _cycle_program's
+        docstring). ``rows`` is a list of (tokens, seq_len, class, budget,
+        slot) to fill from row 0; remaining rows are padding (slot index
+        -1 -> all-zero one-hot -> splices nothing)."""
+        A, L = self.admit_size, self.max_seq_len
+        packed = np.full((A, L + 5), PAD_ID, np.int32)
+        packed[:, 0] = SOS_ID
+        packed[:, L + 1] = 1  # seq_len (SOS only)
+        packed[:, L + 2] = 0  # class
+        packed[:, L + 3] = 0  # budget
+        packed[:, L + 4] = -1  # slot: padding rows select nothing
+        for r, (toks, seq_len, cls, budget, slot) in enumerate(rows):
+            packed[r, 1:seq_len] = toks[: seq_len - 1]
+            packed[r, L + 1] = seq_len
+            packed[r, L + 2] = cls
+            packed[r, L + 3] = budget
+            packed[r, L + 4] = slot
+        return packed
+
+    def _register(self, arrivals: List[Tuple]) -> np.ndarray:
+        """Claim slots for the arrivals and build the packed admission
+        array. Every unit is registered into ``_unit_by_slot`` BEFORE any
+        device work happens, so a dispatch that raises still fails these
+        requests through ``_fail_all`` (their callbacks always fire)."""
         L = self.max_seq_len
-        tokens = np.full((A, L + 1), PAD_ID, np.int32)
-        tokens[:, 0] = SOS_ID
-        seq_lens = np.ones((A,), np.int32)
-        classes = np.zeros((A,), np.int32)
-        budgets = np.zeros((A,), np.int32)
-        slot_sel = np.zeros((A, self.slots), np.float32)
-        row = 0
+        rows: List[Tuple] = []
         for toks, callback, t0 in arrivals:
             req = _Request(tokens=toks, callback=callback, t0=t0,
                            pending_units=self.num_classes)
             m = min(len(toks), L)
             for c in range(self.num_classes):
                 slot = self._free_slots.pop()
-                self._unit_by_slot[slot] = _Unit(req, c)
-                tokens[row, 1 : m + 1] = toks[:m]
-                seq_lens[row] = m + 1
-                classes[row] = c
-                # 2x the input length (reference sampler.py:164), bounded
-                # by the row size; counts positions incl. the SOS slot.
-                budgets[row] = min(2 * (m + 1), self.t_gen)
-                slot_sel[row, slot] = 1.0
-                row += 1
-        self._state = _admit(
-            self.model, self.params, self._state,
-            jnp.asarray(tokens), jnp.asarray(seq_lens), jnp.asarray(classes),
-            jnp.asarray(slot_sel), jnp.asarray(budgets),
-        )
+                # Budget: 2x the input length (reference sampler.py:164),
+                # bounded by the row size; counts positions incl. SOS.
+                budget = min(2 * (m + 1), self.t_gen)
+                self._unit_by_slot[slot] = _Unit(
+                    req, c, self._cycle_idx,
+                    max_done_cycle=self._cycle_idx
+                    + -(-budget // self.segment_steps),
+                )
+                rows.append((toks, m + 1, c, budget, slot))
+        return self._pack_admission(rows)
 
-    def _run_segment(self):
-        self._rng, key = jax.random.split(self._rng)
-        out = _segment(
-            self.model, self.params, self._state, key,
-            jnp.asarray(self.temperature, jnp.float32),
+    def _dispatch(self, admission: Optional[np.ndarray]) -> None:
+        """Dispatch ONE fused cycle (admissions + segment_steps decode).
+        ``admission`` is the packed array from ``_register`` (or None for
+        a no-admit cycle, which reuses the cached device placeholder and
+        uploads nothing). The readout's device->host copy starts
+        immediately (async); ``_harvest_ready`` picks it up once the round
+        trip has had time to land."""
+        admit = admission is not None
+        admission_dev = (
+            jnp.asarray(admission) if admit else self._empty_admission_dev
+        )
+        state, readout = _cycle_program(
+            self.model, self.params, self._state, admission_dev,
+            self._temp_dev,
             segment_steps=self.segment_steps,
             top_k=self.top_k, top_p=self.top_p, greedy=self.greedy,
+            admit=admit,
         )
-        self._state = out[0]
-        return out[1:]  # (seqs, t, done, scores) device copies
+        self._state = state
+        try:
+            readout.copy_to_host_async()
+        except Exception:  # pragma: no cover - backends without async copy
+            pass  # np.asarray at harvest will block instead
+        self._pending.append((self._cycle_idx, readout, time.perf_counter()))
 
-    def _harvest(self, seqs, done) -> None:
-        """Release finished slots; fire callbacks for finished requests."""
-        done = np.asarray(done)
-        finished = [s for s, u in list(self._unit_by_slot.items()) if done[s]]
+    def _needs_decode(self) -> bool:
+        """True while some unit's budget could still be advancing — past
+        every unit's ``max_done_cycle`` further dispatches are no-ops."""
+        return any(
+            u.max_done_cycle > self._cycle_idx
+            for u in self._unit_by_slot.values()
+        )
+
+    def _harvest_ready(self) -> bool:
+        """Harvest the newest pending readout whose async copy has had
+        ``_harvest_delay`` seconds to land; drop the (dominated) older
+        ones. Returns True when a harvest happened."""
+        if not self._pending:
+            return False
+        now = time.perf_counter()
+        ready = -1
+        for i in range(len(self._pending) - 1, -1, -1):
+            if now - self._pending[i][2] >= self._harvest_delay:
+                ready = i
+                break
+        if ready < 0:
+            return False
+        cycle_idx, readout, _ = self._pending[ready]
+        del self._pending[: ready + 1]
+        self._harvest(cycle_idx, readout)
+        return True
+
+    def _harvest(self, cycle_idx: int, readout_dev) -> None:
+        """Fetch one cycle's packed readout (ONE tunnel round trip: done
+        mask in column 0, token rows after); release finished slots; fire
+        callbacks for finished requests. Skips slots admitted AFTER
+        ``cycle_idx`` — their done flag in this readout belongs to the
+        slot's previous occupant."""
+        readout = np.asarray(readout_dev)
+        done = readout[:, 0].astype(bool)
+        finished = [
+            s for s, u in list(self._unit_by_slot.items())
+            if done[s] and u.admit_cycle <= cycle_idx
+        ]
         if not finished:
             self.stats.record_batch(
                 fill=len(self._unit_by_slot),
@@ -427,7 +586,7 @@ class StreamingTransferEngine:
                 served=0,
             )
             return
-        seqs = np.asarray(seqs)
+        seqs = readout[:, 1:].astype(np.int32)
         now = time.perf_counter()
         latencies: List[float] = []
         for s in finished:
@@ -464,26 +623,36 @@ class StreamingTransferEngine:
         return TransferResult(midi_by_class, tokens_by_class)
 
     def _cycle(self, block: bool) -> bool:
-        """One engine cycle: admit, advance one segment, harvest.
-        Returns True when any work happened. Blocks briefly for arrivals
-        only when NO slot is in flight — live slots must keep advancing."""
+        """One host pass: harvest any landed readout FIRST (frees slots for
+        this pass's admissions), then collect arrivals and dispatch the
+        next fused cycle. The dispatcher free-runs at dispatch speed
+        (sub-ms through the tunnel — dispatches and uploads are async;
+        only fetches pay the round trip) until every unit is past its
+        completion bound, then idles waiting for the last readout's copy
+        to land. Returns True when any work happened; blocks briefly for
+        arrivals only when nothing at all is in flight."""
         self._ensure_state()
-        arrivals = self._collect_arrivals(
-            block=block and not self._unit_by_slot
-        )
-        if arrivals:
-            self._admit_arrivals(arrivals)
-        if not self._unit_by_slot:
-            return bool(arrivals)
-        seqs, t, done, scores = self._run_segment()
-        self._harvest(seqs, done)
-        return True
+        harvested = self._harvest_ready()
+        idle = not self._unit_by_slot and not self._pending
+        arrivals = self._collect_arrivals(block=block and idle)
+        if arrivals or self._needs_decode():
+            self._cycle_idx += 1
+            admission = self._register(arrivals) if arrivals else None
+            self._dispatch(admission)
+            return True
+        if harvested:
+            return True
+        if self._pending:
+            # Decode is ahead of the harvest round trip: nothing to
+            # dispatch, the newest readout's copy hasn't landed yet.
+            time.sleep(0.001)
+        return False
 
     def _fail_all(self, exc: Exception) -> None:
-        """Admission/segment failure: fail every in-flight and queued
-        request fast (service contract), reset the engine state. Each
-        request's callback fires ONCE even when several of its per-class
-        units are in flight."""
+        """Cycle failure: fail every in-flight and queued request fast
+        (service contract), reset the engine state. Each request's callback
+        fires ONCE even when several of its per-class units are in
+        flight."""
         failed = {id(u.request): u.request for u in self._unit_by_slot.values()}
         for req in failed.values():
             req.pending_units = -1  # mark failed
@@ -494,6 +663,7 @@ class StreamingTransferEngine:
         self._unit_by_slot.clear()
         self._free_slots = list(range(self.slots))
         self._state = None
+        self._pending.clear()
         while True:
             try:
                 _, callback, _ = self._queue.get_nowait()
@@ -532,4 +702,15 @@ class StreamingTransferEngine:
                 logging.getLogger(__name__).exception(
                     "streaming cycle failed; engine state reset"
                 )
+                self._fail_all(exc)
+        # Drain on stop: harvest the NEWEST in-flight readout (it covers
+        # everything older) so requests that finished in the final cycles
+        # still fire their callbacks before the thread exits. np.asarray
+        # blocks for the copy if it hasn't landed yet — that's fine here.
+        if self._pending:
+            cycle_idx, readout, _ = self._pending[-1]
+            self._pending.clear()
+            try:
+                self._harvest(cycle_idx, readout)
+            except Exception as exc:
                 self._fail_all(exc)

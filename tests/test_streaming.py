@@ -302,7 +302,7 @@ class TestEngineServing:
         def exploding(*a, **k):
             raise boom
 
-        eng._run_segment = exploding
+        eng._dispatch = exploding
         got = []
         ev = threading.Event()
 
@@ -337,3 +337,26 @@ class TestEngineServing:
         for c, toks in r.tokens_by_class.items():
             # melody tokens exclude specials; at most budget-1 generated.
             assert len(toks) <= budget - 1
+
+    def test_dispatcher_throttles_at_completion_bound(self, model_folder):
+        """With a harvest delay forcing the readout round trip to lag
+        (the tunnel regime), the dispatcher must stop issuing cycles once
+        every unit is past its budget bound instead of free-running
+        no-op dispatches while waiting for the copy to land."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4, harvest_delay_s=0.05,
+        )
+        midi = _midi_bytes((60, 64))
+        m = len(eng._tokens_from_midi(midi))
+        budget = min(2 * (m + 1), eng.t_gen)
+        r = eng.submit_midi(midi)
+        assert set(r.midi_by_class) == {0, 1}
+        # One admit cycle at index 1; every unit's max_done_cycle is then
+        # 1 + ceil(budget / segment_steps); dispatching past it could not
+        # change any readout.
+        assert eng._cycle_idx <= 1 + -(-budget // eng.segment_steps)
