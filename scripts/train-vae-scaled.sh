@@ -28,7 +28,12 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 256 \
 --d-dropout 0.1 \
 --use-flash-attention \
+--steps-per-dispatch 4 \
 "$@"
 # --remat removed in round 3: the measured sweep (scripts/mfu-sweep.py)
 # shows remat costs 23-29% at this size — activations fit HBM, recompute
 # buys nothing. Pass --remat yourself for bigger variants that OOM.
+# --steps-per-dispatch 4: per-dispatch host cost through the tunnel grew
+# to ~9.5 ms for this program class (device op time unchanged at 11.65
+# ms/step — BASELINE.md "dispatch-cost shift"); 4 steps per program
+# amortizes it to noise. Exact same semantics as 4 single steps.
