@@ -79,7 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--harvest-delay-ms", type=float, default=None,
                    help="--streaming: time given to each cycle readout's "
                         "async device->host copy before harvesting it "
-                        "(default: auto per backend)")
+                        "(default: auto-calibrated from one measured "
+                        "fetch round trip at startup)")
     return p
 
 

@@ -369,17 +369,13 @@ class StreamingTransferEngine:
         # ~cycle_rate x delay entries because every pass drops all entries
         # at-or-before the harvested one.
         self._pending: List[Tuple[int, jax.Array, float]] = []
-        if harvest_delay_s is not None:
-            self._harvest_delay = float(harvest_delay_s)
-        else:
-            # Through the axon tunnel a fresh-result fetch costs a ~25-30ms
-            # round trip, but copy_to_host_async makes it free once the
-            # copy has landed (measured in BASELINE.md's streaming study);
-            # locally-attached backends fetch in microseconds.
-            plat = next(
-                iter(jax.tree_util.tree_leaves(self.params)[0].devices())
-            ).platform
-            self._harvest_delay = 0.028 if plat in ("tpu", "axon") else 0.0
+        # None = auto: _ensure_state calibrates by timing one real fetch
+        # round trip (a platform heuristic would wrongly tax locally
+        # attached TPUs, where fetches are near-free, with the tunnel's
+        # ~28 ms allowance).
+        self._harvest_delay: Optional[float] = (
+            None if harvest_delay_s is None else float(harvest_delay_s)
+        )
         # One-time device constants, uploaded lazily by _ensure_state (in
         # the engine thread's device context): the no-admit placeholder
         # admission array and the temperature scalar. Caching them makes a
@@ -449,6 +445,27 @@ class StreamingTransferEngine:
                 self.model, self.params, slots=self.slots, t_gen=self.t_gen,
                 t_cache=self.t_cache, seed=self._seed,
             )
+            if self._harvest_delay is None:
+                # Calibrate the readout allowance from MEASURED fetch
+                # round trips: the first fetch absorbs _init_state's
+                # compile+execute; each subsequent fetch of a different
+                # (still unfetched) leaf of the same finished program
+                # times a pure device->host trip. Median of three — a
+                # single sample can catch a tunnel hiccup and tax every
+                # later harvest. ~28 ms through the axon tunnel,
+                # microseconds locally attached — where any fixed
+                # allowance would cost every request latency for nothing.
+                np.asarray(self._state.done)
+                trips = []
+                for leaf in (self._state.t, self._state.budget,
+                             self._state.scores):
+                    t0 = time.perf_counter()
+                    np.asarray(leaf)
+                    trips.append(time.perf_counter() - t0)
+                rt = float(np.median(trips))
+                self._harvest_delay = (
+                    0.0 if rt < 1e-3 else min(0.25, 1.1 * rt + 0.003)
+                )
         if self._empty_admission_dev is None:
             self._empty_admission_dev = jnp.asarray(self._pack_admission([]))
             self._temp_dev = jnp.asarray(self.temperature, jnp.float32)

@@ -1,17 +1,21 @@
 """Streaming engine vs micro-batch service under identical open-loop load.
 
-Measures, on the real chip through the tunnel:
+Thin wrapper over bench.py's shared serving-bench helpers
+(_flagship_model_folder, _mixed_requests, _open_loop_load) so the two
+benches can never diverge in protocol. Measures, on the real chip through
+the tunnel:
 
 - batch-service capacity (closed-loop full batches) as the load anchor;
 - for each engine {batch service, streaming engine}: sustained throughput
-  and request p50/p99 under open-loop Poisson-ish arrivals at a fraction
-  of that capacity, with the SAME mixed-length request population the
-  service bench uses.
+  and request p50/p99 under open-loop arrivals at ``load_frac`` of that
+  capacity, with the same mixed-length request population.
 
 Usage:
     python scripts/streaming-bench.py [load_frac] [slots] [segment_steps] \
         [admit_size]
-Defaults: 0.5 32 16 8. Prints one JSON line per engine plus a summary.
+Defaults: 0.5 128 32 16 — the SHIPPED engine configuration whose numbers
+BASELINE.md's streaming study reports. Prints one JSON line per engine
+plus a summary.
 
 Tunnel discipline (CLAUDE.md): the two engines run interleaved per load
 level within one process/window; compare the printed pair, not numbers
@@ -21,13 +25,8 @@ from different runs.
 from __future__ import annotations
 
 import json
-import os
 import sys
-import tempfile
-import threading
 import time
-
-import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -45,89 +44,11 @@ def _pick_device():
     return jax.devices()[0]
 
 
-def make_model_folder() -> str:
-    import jax
+def run_load(target, requests, rate, n_target, label):
+    from bench import _open_loop_load
 
-    from __graft_entry__ import _flagship_config
-    from musicstyletransfer_tpu.models import init_params, make_model
-    from musicstyletransfer_tpu.training import (
-        OptimizerConfig, build_optimizer, create_train_state, save_checkpoint,
-    )
-
-    folder = tempfile.mkdtemp(prefix="mst-stream-bench-")
-    cfg = _flagship_config(dtype="bfloat16")
-    cfg.save(os.path.join(folder, "config"))
-    model = make_model(cfg)
-    params = init_params(model, jax.random.key(0), max_seq_len=64)
-    tx = build_optimizer(OptimizerConfig("adam", "", 1e-3))
-    save_checkpoint(folder, 1,
-                    create_train_state(params, tx, jax.random.key(0)))
-    return folder
-
-
-def request_population():
-    from musicstyletransfer_tpu.midi import smf
-    from musicstyletransfer_tpu.midi.codec import Melody, MelodyWriter
-    from musicstyletransfer_tpu.midi.vocab import note_on_id, timeshift_id
-
-    writer = MelodyWriter()
-    rng = np.random.default_rng(0)
-
-    def midi_of_len(n_events):
-        toks = []
-        for _ in range(n_events // 2):
-            p = int(rng.integers(40, 80))
-            toks += [note_on_id(p), timeshift_id(90)]
-        return smf.dump_midifile(
-            writer.to_midifile(Melody(tokens=np.asarray(toks, np.int32)))
-        )
-
-    # Same mix as bench.py's sustained-service measurement.
-    return ([midi_of_len(12) for _ in range(6)]
-            + [midi_of_len(28) for _ in range(3)]
-            + [midi_of_len(60) for _ in range(1)])
-
-
-def run_load(svc, requests, rate, n_target, label):
-    """Open-loop arrivals at ``rate`` req/s; returns stats dict."""
-    n_target -= n_target % 4
-    svc.stats = type(svc.stats)()
-    done = threading.Event()
-    served = []
-
-    def on_result(r):
-        served.append(r)
-        if len(served) >= n_target:
-            done.set()
-
-    svc.start()
-    t0 = time.perf_counter()
-    try:
-        n_prod = 4
-        per_thread_interval = n_prod / rate
-
-        def producer(tid):
-            r = np.random.default_rng(tid)
-            nxt = time.perf_counter() + per_thread_interval * (tid / n_prod)
-            for _ in range(n_target // n_prod):
-                delay = nxt - time.perf_counter()
-                if delay > 0:
-                    time.sleep(delay)
-                svc.enqueue(requests[int(r.integers(0, len(requests)))],
-                            on_result)
-                nxt += per_thread_interval
-        threads = [threading.Thread(target=producer, args=(t,))
-                   for t in range(n_prod)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        done.wait(timeout=240)
-    finally:
-        svc.stop()
-    wall = time.perf_counter() - t0
-    errors = sum(1 for r in served if isinstance(r, Exception))
-    s = svc.stats.snapshot()
+    s, wall, errors = _open_loop_load(target, requests, rate, n_target,
+                                      seed_base=0, timeout=240.0)
     out = {
         "engine": label,
         "offered_req_per_sec": round(rate, 1),
@@ -137,7 +58,6 @@ def run_load(svc, requests, rate, n_target, label):
         "mean_fill": round(s["mean_batch_fill"], 1),
         "max_queue_depth": s["max_queue_depth"],
         "errors": errors,
-        "completed": len(served),
     }
     print(json.dumps(out), flush=True)
     return out
@@ -150,16 +70,19 @@ def main():
 
     configure_jax_cache()
     load_frac = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
-    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    segment_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    admit_size = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    segment_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    admit_size = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     device = _pick_device()
     print(f"# device: {device}, load_frac={load_frac}, slots={slots}, "
-          f"segment_steps={segment_steps}", flush=True)
+          f"segment_steps={segment_steps}, admit_size={admit_size}",
+          flush=True)
+
+    from bench import _flagship_model_folder, _mixed_requests
 
     with jax.default_device(device):
-        folder = make_model_folder()
-        requests = request_population()
+        folder = _flagship_model_folder(prefix="mst-stream-bench-")
+        requests = _mixed_requests()
 
         from musicstyletransfer_tpu.inference.service import (
             StyleTransferService,
