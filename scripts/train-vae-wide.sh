@@ -30,4 +30,5 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 512 \
 --d-dropout 0.1 \
 --use-flash-attention \
+--steps-per-dispatch 4 \
 "$@"

@@ -28,4 +28,10 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-n-layers 1 \
 --d-rnn-hidden-dim 128 \
 --d-dropout 0.2 \
+--steps-per-dispatch 8 \
 "$@"
+# --steps-per-dispatch 8: the canonical step became dispatch-bound when
+# per-dispatch host cost grew platform-side (same-window A/B: 28-31
+# updates/s single-step vs 187-237 at K=8 — BASELINE.md "dispatch-cost
+# shift"). Bit-identical training trajectory; pass --steps-per-dispatch 1
+# to restore per-step dispatch.
