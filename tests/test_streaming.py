@@ -360,3 +360,27 @@ class TestEngineServing:
         # 1 + ceil(budget / segment_steps); dispatching past it could not
         # change any readout.
         assert eng._cycle_idx <= 1 + -(-budget // eng.segment_steps)
+
+    def test_harvest_delay_calibration(self, model_folder):
+        """Auto mode measures the fetch round trip: on CPU (microsecond
+        fetches) it must calibrate to ZERO allowance — any fixed tunnel
+        allowance here would tax every request's latency for nothing —
+        and an explicit value must be honored verbatim."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4,
+        )
+        assert eng._harvest_delay is None  # calibrated lazily
+        eng._ensure_state()
+        assert eng._harvest_delay == 0.0
+
+        eng2 = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4, harvest_delay_s=0.042,
+        )
+        eng2._ensure_state()
+        assert eng2._harvest_delay == 0.042
