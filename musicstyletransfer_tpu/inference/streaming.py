@@ -57,6 +57,12 @@ median request latency 1.4-1.5x (p50 49 vs 75 ms); its capacity scales
 with ``slots`` while the harvest round trip dominates slot residency. The
 batch service remains the pick for closed-loop bulk transfers (directory
 mode), where latency is irrelevant and its fused Pallas decode wins.
+
+Multi-chip: pass ``mesh=`` (same API as ``StyleTransferService``) to run
+the engine sharded — slots over the data axis (capacity then scales with
+chips x slots-per-chip under the same host loop), params per the TP
+rules. Token-identical to the single-device engine
+(tests/test_streaming.py::TestStreamingMesh).
 """
 
 from __future__ import annotations
@@ -315,7 +321,15 @@ class StreamingTransferEngine:
         greedy: bool = False,
         seed: int = 0,
         harvest_delay_s: Optional[float] = None,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh — run the engine sharded:
+        slots ride the data axis (each chip owns ``slots/dp`` independent
+        lanes of the SAME donated cycle program; GSPMD propagates the
+        sharding through the scan), params are placed once per the TP
+        rules (replicated at tp=1), and per-cycle uploads (admission pack,
+        temperature) are replicated. Same API as
+        ``StyleTransferService(mesh=...)``. None = single-device."""
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
         )
@@ -341,6 +355,19 @@ class StreamingTransferEngine:
                 f"must each cover one request's {self.num_classes} "
                 f"per-class units"
             )
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import AXIS_DATA
+
+            dp = mesh.shape.get(AXIS_DATA, 1)
+            if self.slots % dp != 0:
+                raise ValueError(
+                    f"slots ({self.slots}) must divide evenly over the "
+                    f"mesh's data axis ({dp})"
+                )
+            from .sharded import prepare_params
+
+            self.params = prepare_params(self.params, mesh)
         # Budget/positions mirror decode_sampled: seqs rows hold up to
         # 2*(L+1) positions (SOS + generated), the cache one extra for the
         # conditioning state at position 0.
@@ -445,6 +472,23 @@ class StreamingTransferEngine:
                 self.model, self.params, slots=self.slots, t_gen=self.t_gen,
                 t_cache=self.t_cache, seed=self._seed,
             )
+            if self.mesh is not None:
+                # Shard the slot axis once; every later cycle's donated
+                # in/out buffers inherit these shardings via GSPMD
+                # propagation (pinned by tests/test_streaming.py).
+                from ..parallel.mesh import batch_sharding, replicated
+
+                bs, st = batch_sharding(self.mesh), self._state
+                self._state = SlotState(
+                    cache=jax.device_put(st.cache, bs),
+                    seqs=jax.device_put(st.seqs, bs),
+                    scores=jax.device_put(st.scores, bs),
+                    t=jax.device_put(st.t, bs),
+                    budget=jax.device_put(st.budget, bs),
+                    done=jax.device_put(st.done, bs),
+                    occupied=jax.device_put(st.occupied, bs),
+                    rng=jax.device_put(st.rng, replicated(self.mesh)),
+                )
             if self._harvest_delay is None:
                 # Calibrate the readout allowance from MEASURED fetch
                 # round trips: the first fetch absorbs _init_state's
@@ -467,8 +511,20 @@ class StreamingTransferEngine:
                     0.0 if rt < 1e-3 else min(0.25, 1.1 * rt + 0.003)
                 )
         if self._empty_admission_dev is None:
-            self._empty_admission_dev = jnp.asarray(self._pack_admission([]))
-            self._temp_dev = jnp.asarray(self.temperature, jnp.float32)
+            self._empty_admission_dev = self._put(self._pack_admission([]))
+            self._temp_dev = self._put(
+                np.asarray(self.temperature, np.float32)
+            )
+
+    def _put(self, host_arr: np.ndarray) -> jax.Array:
+        """Upload one host array: replicated over the mesh when sharded
+        (admission operands are small and every shard's program reads
+        them), plain device transfer otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(host_arr)
+        from ..parallel.mesh import replicated
+
+        return jax.device_put(host_arr, replicated(self.mesh))
 
     def _collect_arrivals(self, block: bool) -> List[Tuple]:
         """Pop queued requests that fit the free slots / admit width."""
@@ -541,7 +597,7 @@ class StreamingTransferEngine:
         trip has had time to land."""
         admit = admission is not None
         admission_dev = (
-            jnp.asarray(admission) if admit else self._empty_admission_dev
+            self._put(admission) if admit else self._empty_admission_dev
         )
         state, readout = _cycle_program(
             self.model, self.params, self._state, admission_dev,

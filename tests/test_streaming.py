@@ -252,6 +252,54 @@ class TestEngineEquivalence:
                 )
 
 
+class TestStreamingMesh:
+    def test_mesh_engine_matches_single_device(self, model_folder):
+        """Pure-DP mesh: the sharded engine emits token-identical greedy
+        transfers, and the slot axis STAYS distributed after donated
+        cycles (GSPMD propagation, not a silent fallback to replication)."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh
+
+        reqs = [_midi_bytes((40 + i, 45 + i, 50 + i)) for i in range(3)]
+
+        def run(mesh):
+            eng = StreamingTransferEngine(
+                model_folder, checkpoint=-1, slots=8, max_seq_len=8,
+                segment_steps=4, admit_size=4, greedy=True, mesh=mesh,
+                harvest_delay_s=0.0,
+            )
+            return eng, [eng.submit_midi(r) for r in reqs]
+
+        _, single = run(None)
+        mesh = make_mesh(jax.devices()[:4], tp=1)
+        eng, sharded = run(mesh)
+        for i, (a, b) in enumerate(zip(single, sharded)):
+            assert set(a.tokens_by_class) == set(b.tokens_by_class)
+            for c in a.tokens_by_class:
+                np.testing.assert_array_equal(
+                    a.tokens_by_class[c], b.tokens_by_class[c],
+                    err_msg=f"request {i} class {c}",
+                )
+        shd = eng._state.seqs.sharding
+        assert len(shd.device_set) == 4
+        assert not shd.is_fully_replicated
+
+    def test_mesh_slot_divisibility_checked(self, model_folder):
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices()[:4], tp=1)
+        with pytest.raises(ValueError, match="divide evenly"):
+            StreamingTransferEngine(
+                model_folder, checkpoint=-1, slots=6, max_seq_len=8,
+                admit_size=2, mesh=mesh,
+            )
+
+
 class TestEngineServing:
     def test_threaded_loop_serves_concurrent_requests(self, model_folder):
         from musicstyletransfer_tpu.inference.streaming import (
