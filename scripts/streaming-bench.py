@@ -15,7 +15,10 @@ Usage:
         [admit_size]
 Defaults: 0.5 128 32 16 — the SHIPPED engine configuration whose numbers
 BASELINE.md's streaming study reports. Prints one JSON line per engine
-plus a summary.
+plus a summary. ``slots`` may be a comma list (e.g. ``128,256``): one
+streaming engine per value runs interleaved in the same window — the
+capacity-scaling probe (offer load_frac > 1 to push past the batch
+service's capacity).
 
 Tunnel discipline (CLAUDE.md): the two engines run interleaved per load
 level within one process/window; compare the printed pair, not numbers
@@ -70,11 +73,12 @@ def main():
 
     configure_jax_cache()
     load_frac = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
-    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    slots_list = ([int(s) for s in sys.argv[2].split(",")]
+                  if len(sys.argv) > 2 else [128])
     segment_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     admit_size = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     device = _pick_device()
-    print(f"# device: {device}, load_frac={load_frac}, slots={slots}, "
+    print(f"# device: {device}, load_frac={load_frac}, slots={slots_list}, "
           f"segment_steps={segment_steps}, admit_size={admit_size}",
           flush=True)
 
@@ -94,15 +98,20 @@ def main():
         svc = StyleTransferService(folder, checkpoint=-1, batch_size=32,
                                    max_seq_len=64, max_wait_ms=5.0,
                                    buckets=[16, 32, 64])
-        eng = StreamingTransferEngine(folder, checkpoint=-1, slots=slots,
-                                      max_seq_len=64,
-                                      segment_steps=segment_steps,
-                                      admit_size=admit_size)
+        engines = [
+            (f"streaming[slots={s}]",
+             StreamingTransferEngine(folder, checkpoint=-1, slots=s,
+                                     max_seq_len=64,
+                                     segment_steps=segment_steps,
+                                     admit_size=admit_size))
+            for s in slots_list
+        ]
 
         # Warm every compiled program outside the timed windows.
         for m in (requests[0], requests[6], requests[9]):
             svc.submit_midi(m)
-            eng.submit_midi(m)
+            for _, eng in engines:
+                eng.submit_midi(m)
 
         # Capacity anchor: one full max-bucket batch through the service.
         toks = [svc._tokens_from_midi(requests[9])] * 32
@@ -115,9 +124,12 @@ def main():
 
         rate = load_frac * cap
         n_target = min(600, max(100, int(rate * 10)))
-        # Interleave: service then streaming in the same window.
+        # Interleave: service then each streaming config in the same window.
         s_batch = run_load(svc, requests, rate, n_target, "batch")
-        s_stream = run_load(eng, requests, rate, n_target, "streaming")
+        s_stream = None
+        for label, eng in engines:
+            s = run_load(eng, requests, rate, n_target, label)
+            s_stream = s_stream or s
         print(json.dumps({
             "p50_speedup_streaming": round(
                 s_batch["p50_ms"] / max(s_stream["p50_ms"], 1e-9), 2),
