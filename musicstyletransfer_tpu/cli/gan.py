@@ -53,12 +53,21 @@ def build_gan_parser() -> argparse.ArgumentParser:
     train.add_argument("--d-learning-rate", type=float, default=5e-5)
     train.add_argument("--label-smoothing", type=float, default=0.0)
     train.add_argument("--negative-label-downscaling", action="store_true")
-    train.add_argument("--r1-gamma", type=float, default=0.0,
-                       help="R1 gradient-penalty weight on real inputs "
-                            "(0 = off, the reference surface; 0.1 is the "
-                            "measured sweet spot for long runs — "
-                            "BASELINE.md sweep: dense output AND the "
-                            "sharpest class separation at 14k steps)")
+    train.add_argument("--r1-gamma", type=float, default=0.1,
+                       help="R1 gradient-penalty weight on real inputs. "
+                            "Default 0.1 — the measured sweet spot "
+                            "(BASELINE.md sweep: dense output AND the "
+                            "sharpest class separation at 14k steps; the "
+                            "unregularized run collapses there). "
+                            "--parity-gan or 0 turns it off.")
+    train.add_argument("--parity-gan", action="store_true",
+                       help="restore the bare reconstructed train.sh "
+                            "surface (R1 penalty off). The reference's own "
+                            "GAN module is absent from its repo, so this "
+                            "only pins the reconstructed surface, not "
+                            "measured behavior — the default diverges "
+                            "deliberately because unregularized training "
+                            "self-destructs (BASELINE.md GAN table).")
 
     misc = parser.add_argument_group("Misc")
     misc.add_argument("--checkpoint-frequency", type=int, default=5000)
@@ -124,7 +133,7 @@ def create_gan_train_config(args) -> GANTrainConfig:
         d_learning_rate=args.d_learning_rate,
         label_smoothing=args.label_smoothing,
         negative_label_downweighting=args.negative_label_downscaling,
-        r1_gamma=args.r1_gamma,
+        r1_gamma=0.0 if getattr(args, "parity_gan", False) else args.r1_gamma,
         checkpoint_frequency=args.checkpoint_frequency,
         sampling_frequency=args.sampling_frequency,
         num_samples=args.num_samples,

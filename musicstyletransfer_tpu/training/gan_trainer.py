@@ -74,13 +74,17 @@ class GANTrainConfig:
     label_smoothing: float = 0.0
     negative_label_downweighting: bool = False
     # R1 gradient penalty (Mescheder et al. 2018): gamma/2 * E_real
-    # ||grad_x D(x)||^2, the standard fix for the divergence BASELINE.md
-    # documents at ~14k unregularized steps (D re-wins, G collapses to
-    # near-noteless output). 0 disables (the reference train.sh surface
-    # has no such knob, so off stays the parity default). The penalty is
-    # well-defined here because D consumes continuous token
-    # DISTRIBUTIONS (one-hot for real), not ids.
-    r1_gamma: float = 0.0
+    # ||grad_x D(x)||^2. DEFAULT ON at the measured-best 0.1: the
+    # unregularized run measurably self-destructs (BASELINE.md GAN table:
+    # note-on fraction collapses to 0.032 by 14k steps) while gamma=0.1
+    # keeps output dense AND class separation sharp. The reference
+    # train.sh surface has no such knob — but its GAN module is absent
+    # from the reference repo, so there is no behavior to be faithful to;
+    # PARITY.md documents the divergence and ``--parity-gan`` (cli/gan.py)
+    # restores the bare surface. The penalty is well-defined here because
+    # D consumes continuous token DISTRIBUTIONS (one-hot for real), not
+    # ids.
+    r1_gamma: float = 0.1
     checkpoint_frequency: int = 5000
     sampling_frequency: int = 1000
     num_samples: int = 8

@@ -204,7 +204,10 @@ class TestGANSteps:
         """A few D steps on fixed real data must beat chance vs an untrained
         generator (real sequences are constant; fake are random-ish)."""
         cfg = tiny_config()
-        tc = GANTrainConfig(d_learning_rate=5e-3)
+        # r1_gamma=0: this test pins the raw BCE D-learning mechanism; the
+        # shipped default (0.1, round 4) deliberately damps D and is pinned
+        # separately by test_r1_penalty_positive_and_regularizing.
+        tc = GANTrainConfig(d_learning_rate=5e-3, r1_gamma=0.0)
         d_step, g_step, g_state, d_state = self._states(cfg, tc)
         tokens = jnp.tile(jnp.arange(3, 11, dtype=jnp.int32)[None, :], (8, 1))
         classes = jnp.zeros((8,), jnp.int32)
@@ -215,6 +218,20 @@ class TestGANSteps:
         acc_real = float(acc["d_acc_real"][0]) / float(acc["d_acc_real"][1])
         acc_fake = float(acc["d_acc_fake"][0]) / float(acc["d_acc_fake"][1])
         assert (acc_real + acc_fake) / 2 > 0.7, (acc_real, acc_fake)
+
+    def test_r1_default_is_on(self):
+        """Round-4 shipped default: r1_gamma=0.1 (the unregularized run
+        measurably self-destructs — BASELINE.md GAN table); the parity
+        surface is restored via cli/gan.py's --parity-gan."""
+        assert GANTrainConfig().r1_gamma == 0.1
+        from musicstyletransfer_tpu.cli.gan import (
+            create_gan_train_config, get_gan_config,
+        )
+
+        assert create_gan_train_config(get_gan_config([])).r1_gamma == 0.1
+        assert create_gan_train_config(
+            get_gan_config(["--parity-gan"])
+        ).r1_gamma == 0.0
 
     def test_r1_penalty_positive_and_regularizing(self):
         """r1_gamma > 0 must (a) report a positive d_r1 metric, (b) raise
