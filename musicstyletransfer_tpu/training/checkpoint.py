@@ -49,16 +49,21 @@ class TrainingProgress:
             return cls(**json.load(fh))
 
 
+def checkpoint_indices(model_folder: str):
+    """Sorted params.N indices present in the folder (may be empty)."""
+    return sorted(
+        int(m.group(1))
+        for m in (_CKPT_RE.match(n) for n in os.listdir(model_folder))
+        if m
+    )
+
+
 def get_latest_checkpoint_index(model_folder: str) -> int:
     """Largest N among params.N entries (reference: utils.py:15-25, fixed)."""
-    latest = -1
-    for name in os.listdir(model_folder):
-        m = _CKPT_RE.match(name)
-        if m:
-            latest = max(latest, int(m.group(1)))
-    if latest == -1:
+    indices = checkpoint_indices(model_folder)
+    if not indices:
         raise ValueError(f"No checkpoints found in {model_folder}")
-    return latest
+    return indices[-1]
 
 
 def checkpoint_path(model_folder: str, index: int) -> str:
@@ -95,21 +100,25 @@ def _dist_barrier(name: str, timeout_ms: int = 600_000) -> None:
         gs.client.wait_at_barrier(name, timeout_ms)
 
 
-def _gather_to_host(tree):
+def _gather_to_host(tree, fetch: bool = True):
     """Fully replicate every sharded leaf over its mesh, then fetch.
 
     COLLECTIVE: every process must call this with the same tree. The
     ``out_shardings``-only jitted identity compiles to XLA all-gathers
     over ICI/DCN; afterwards each leaf is fully replicated, so a plain
-    host fetch is legal on every process. This trades checkpoint memory
-    O(full model per host) — the right trade at this framework's model
-    scale — for independence from orbax's multihost protocol (see
-    _dist_state: jax.process_count() is wrong under the axon plugin, and
-    orbax keys all its barriers and primary-election off it)."""
+    host fetch is legal on every process. Used ONLY on the skewed-backend
+    path (see save_checkpoint — the honest-multihost path hands orbax the
+    sharded arrays directly and never gathers); there the network cost is
+    O(params) per save but host memory is bounded: ``fetch=False``
+    (non-primary processes) participates in the collectives and
+    materializes NOTHING on the host, and the fetching primary pulls one
+    leaf at a time (device_get syncs per leaf, so replicated device
+    buffers are freed as the walk advances rather than all held at
+    once)."""
     def one(x):
         if isinstance(x, jax.Array) and not x.sharding.is_fully_replicated:
             x = _replicate_fn(x.sharding.mesh)(x)
-        return jax.device_get(x)
+        return jax.device_get(x) if fetch else None
 
     return jax.tree.map(one, tree)
 
@@ -143,23 +152,31 @@ def save_checkpoint(
 
     Multi-process runs (a live jax.distributed world): this is a
     COLLECTIVE — every process must call it with its (sharded) state.
-    Sharded leaves (incl. TP-across-processes params, which the r02
-    primary-only save could not handle) are all-gathered to full
-    replication over their mesh, then one ordinary checkpoint is written.
     Two sub-cases, keyed off whether orbax's own multihost machinery is
     live (it consults ``jax.process_count()``, i.e. the DEFAULT backend):
 
     - Honest world view (real pods; CPU fleets with jax_platforms forced):
       ``jax.process_count() == world size``, so orbax's save() is itself a
       collective with primary-writes-alone baked in — every process calls
-      it. Primary-only calling would DEADLOCK here (the primary waits in
+      it WITH THE SHARDED ARRAYS, no gather at all: orbax/tensorstore
+      writes each process's own shards (peak host memory per save is
+      O(largest local shard), not O(params) — the r03 full-replication
+      save was a measured O(params)-per-host cliff, VERDICT r03 item 9).
+      Primary-only calling would DEADLOCK here (the primary waits in
       orbax's sync_global_processes while non-primaries wait at our
       barrier — observed on the 2-process CPU harness).
     - Skewed default backend (axon plugin keeps priority: process_count()
       == 1 while the gloo world is larger, see _dist_state): orbax's
-      barriers all no-op, so the distributed-world primary writes an
-      ordinary single-process checkpoint and the others wait at an
-      explicit coordination-service barrier.
+      barriers all no-op and cannot write cross-process shards, so leaves
+      are all-gathered per leaf (sequential, device buffers freed as the
+      walk advances), materialized on the PRIMARY ONLY (_gather_to_host
+      fetch=False elsewhere), and the primary writes an ordinary
+      single-process checkpoint while the others wait at an explicit
+      coordination-service barrier.
+
+    Either way the bytes on disk are the full global arrays, so any
+    process count (including single-process inference) can restore any
+    checkpoint.
     """
     path = checkpoint_path(model_folder, index)
     own = checkpointer is None
@@ -169,26 +186,36 @@ def save_checkpoint(
 
     if _multiprocess():
         gs = _dist_state()
+        if jax.process_count() == (gs.num_processes or 1):
+            # Orbax's multihost protocol is live: its save is collective
+            # and shard-native. Clear any stale target on the primary,
+            # fence, then every process enters the save together with its
+            # sharded state — nothing is gathered or replicated.
+            tree = {
+                "step": np.asarray(jax.device_get(state.step)),
+                "params": state.params,
+                "opt_state": state.opt_state,
+                "rng": np.asarray(
+                    jax.device_get(jax.random.key_data(state.rng))
+                ),
+            }
+            if gs.process_id == 0 and os.path.exists(path):
+                shutil.rmtree(path)
+            _dist_barrier(f"mst-ckpt-clear-{index}")
+            ckptr.save(path, tree)
+            if own:
+                ckptr.wait_until_finished()
+            return
+        primary = gs.process_id == 0
         host_tree = {
             "step": np.asarray(jax.device_get(state.step)),
-            "params": _gather_to_host(state.params),
-            "opt_state": _gather_to_host(state.opt_state),
+            "params": _gather_to_host(state.params, fetch=primary),
+            "opt_state": _gather_to_host(state.opt_state, fetch=primary),
             "rng": np.asarray(
                 jax.device_get(jax.random.key_data(state.rng))
             ),
         }
-        if jax.process_count() == (gs.num_processes or 1):
-            # Orbax's multihost protocol is live: its save is collective.
-            # Clear any stale target on the primary, fence, then every
-            # process enters the collective save together.
-            if gs.process_id == 0 and os.path.exists(path):
-                shutil.rmtree(path)
-            _dist_barrier(f"mst-ckpt-clear-{index}")
-            ckptr.save(path, host_tree)
-            if own:
-                ckptr.wait_until_finished()
-            return
-        if gs.process_id == 0:
+        if primary:
             if os.path.exists(path):
                 shutil.rmtree(path)
             ckptr.save(path, host_tree)
@@ -252,10 +279,14 @@ def restore_checkpoint(
     """Restore params.{index} into the template's structure.
 
     Multi-process: collective — call from every process with the SHARDED
-    template. Every process reads the full host values from the shared
-    filesystem (the save wrote fully-gathered arrays), then places its own
-    shards per the template's shardings (global_device_put), so the result
-    needs no re-shard.
+    template. When orbax's multihost protocol is live (honest world view,
+    see save_checkpoint) the restore target carries the template's
+    shardings as abstract arrays, so orbax/tensorstore reads each process
+    ONLY its own shards and returns ready-sharded jax.Arrays — O(local
+    shard) host memory and disk traffic, the mirror of the shard-native
+    save. On the skewed backend every process reads the full host values
+    from the shared filesystem, then places its own shards per the
+    template's shardings (global_device_put).
     """
     path = checkpoint_path(model_folder, index)
     ckptr = ocp.StandardCheckpointer()
@@ -265,7 +296,25 @@ def restore_checkpoint(
     meta = ckptr.metadata(path).item_metadata
     rng_meta = meta["rng"]
     multi = _multiprocess()
-    if multi:
+    honest = multi and jax.process_count() == (
+        _dist_state().num_processes or 1
+    )
+    if honest:
+        def abstract(tree):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=x.sharding
+                ) if isinstance(x, jax.Array) else np.asarray(x),
+                tree,
+            )
+
+        target = {
+            "step": np.asarray(jax.device_get(template.step)),
+            "params": abstract(template.params),
+            "opt_state": abstract(template.opt_state),
+            "rng": jax.ShapeDtypeStruct(rng_meta.shape, rng_meta.dtype),
+        }
+    elif multi:
         target = {
             "step": np.asarray(jax.device_get(template.step)),
             "params": _host_template(template.params),
@@ -281,7 +330,7 @@ def restore_checkpoint(
         }
     restored = ckptr.restore(path, target)
     params, opt_state = restored["params"], restored["opt_state"]
-    if multi:
+    if multi and not honest:
         from ..parallel.distributed import global_device_put
 
         def place(host_tree, tmpl_tree):
@@ -331,11 +380,7 @@ def prune_checkpoints(model_folder: str, keep: int) -> None:
         return
     import shutil
 
-    indices = sorted(
-        int(m.group(1))
-        for m in (_CKPT_RE.match(n) for n in os.listdir(model_folder))
-        if m
-    )
+    indices = checkpoint_indices(model_folder)
     for idx in indices[:-keep]:
         shutil.rmtree(checkpoint_path(model_folder, idx), ignore_errors=True)
 

@@ -498,23 +498,41 @@ class Trainer:
             self.progress.save(model_folder)
 
     def _load_latest_checkpoint(self, model_folder: str) -> None:
+        """Resume from the NEWEST checkpoint that actually restores.
+
+        Recovery semantics (round 4, fault-injection tested in
+        tests/test_distributed.py): a kill -9 mid-run can leave the newest
+        params.N truncated or uncommitted (orbax commits by atomic rename,
+        so usually it simply never appears — but a shared-filesystem crash
+        can still surface a corrupt directory). The resume walks indices
+        NEWEST-FIRST and falls back to the previous durable checkpoint on
+        a restore error; only when every checkpoint fails does training
+        start from scratch (the reference swallows all restore errors and
+        always restarts from scratch, trainer.py:192-194)."""
         print(f"Looking into folder {model_folder} for a valid training.")
-        latest = ckpt.try_latest(model_folder)
+        try:
+            indices = ckpt.checkpoint_indices(model_folder)
+        except FileNotFoundError:
+            indices = []
+        latest = None
         restored = False
-        if latest is None:
+        if not indices:
             print("No checkpoint was found. Starting training from scratch")
-        else:
-            print(f"Checkpoint {latest} found. Resuming training.")
+        for idx in reversed(indices):
+            print(f"Checkpoint {idx} found. Resuming training.")
             try:
                 self.state = ckpt.restore_checkpoint(
-                    model_folder, latest, self.state
+                    model_folder, idx, self.state
                 )
-                restored = True
+                restored, latest = True, idx
+                break
             except Exception as exc:
-                # Crash-resume semantics (reference swallows all restore
-                # errors, trainer.py:192-194): a corrupt/incompatible
-                # checkpoint falls back to fresh training — but say why.
-                print(f"Checkpoint {latest} could not be restored ({exc}); "
+                # Crash-resume semantics: a corrupt/incompatible checkpoint
+                # falls back to the PREVIOUS one — but say why.
+                print(f"Checkpoint {idx} could not be restored ({exc}); "
+                      "trying the previous checkpoint"
+                      if idx != indices[0] else
+                      f"Checkpoint {idx} could not be restored ({exc}); "
                       "starting training from scratch")
         if restored:
             if self.mesh is not None and not ckpt._multiprocess():

@@ -157,6 +157,69 @@ class TestTwoProcessTraining:
         np.testing.assert_allclose(a["param_checksum"], checksum, rtol=1e-4)
 
 
+class TestFaultInjection:
+    """VERDICT r03 item 7: kill -9 one worker mid-run — including while an
+    async orbax save is in flight — restart the pair, and the run must
+    resume from the last COMPLETE checkpoint bitwise with assert_in_sync
+    passing. Recovery semantics: Trainer._load_latest_checkpoint walks
+    checkpoints newest-first (orbax commits by atomic rename, so an
+    interrupted save usually just never appears; a corrupt survivor falls
+    back to its predecessor)."""
+
+    def test_kill9_midrun_resumes_bitwise(self, tmp_path):
+        import time as _time
+
+        folder = str(tmp_path / "fault-model")
+        worker = os.path.join(REPO, "tests", "dist_fault_worker.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+        def spawn(mode, port):
+            return [
+                subprocess.Popen(
+                    [sys.executable, worker, str(pid), f"localhost:{port}",
+                     folder, mode],
+                    env=env, cwd=REPO, stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE, text=True,
+                )
+                for pid in (0, 1)
+            ]
+
+        # Phase 1: run until worker 1 SIGKILLs itself right after starting
+        # checkpoint 3's save; then SIGKILL the primary while its own save
+        # may still be in flight (whole-job preemption).
+        procs = spawn("crash", _free_port())
+        out1, err1 = procs[1].communicate(timeout=600)
+        assert procs[1].returncode == -9, (
+            f"worker 1 should die by SIGKILL:\n{out1}\n{err1}")
+        _time.sleep(2.0)
+        procs[0].kill()
+        out0, err0 = procs[0].communicate(timeout=120)
+        # Both workers recorded two DURABLE checkpoints before the crash.
+        names = os.listdir(folder)
+        assert "params.1" in names and "params.2" in names, names
+        assert "checksums.jsonl" in names, names
+
+        # Phase 2: fresh pair on the same folder resumes and continues.
+        procs = spawn("resume", _free_port())
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"resume worker failed:\n{out}\n{err}"
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        for o in outs:
+            # Resumed from the last COMPLETE checkpoint (2 if save 3 was
+            # interrupted before its atomic commit; 3 if it won the race),
+            # with bitwise-identical params to what that save serialized.
+            assert o["resumed_from"] in (2, 3), o
+            assert o["sha_match"], o
+            assert o["resumed_step"] == 4 * o["resumed_from"], o
+            assert o["final_ckpt"] == o["resumed_from"] + 1, o
+        assert outs[0]["resumed_from"] == outs[1]["resumed_from"]
+        assert os.path.isdir(os.path.join(
+            folder, f"params.{outs[0]['final_ckpt']}")), os.listdir(folder)
+
+
 class TestTPCheckpointAcrossProcesses:
     """VERDICT r02 item 5: multi-process TP states must checkpoint and
     restore bitwise through orbax's collective multihost protocol."""
