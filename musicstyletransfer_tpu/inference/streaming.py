@@ -359,7 +359,16 @@ class StreamingTransferEngine:
         if mesh is not None:
             from ..parallel.mesh import AXIS_DATA
 
-            dp = mesh.shape.get(AXIS_DATA, 1)
+            if AXIS_DATA not in mesh.shape:
+                # Fail at construction with a clear message: a mesh without
+                # a data axis would default dp=1 here and only surface much
+                # later as an opaque device_put error inside the engine
+                # loop (routed through _fail_all).
+                raise ValueError(
+                    f"streaming engine mesh must have a {AXIS_DATA!r} axis "
+                    f"(slots ride it); got axes {tuple(mesh.shape)}"
+                )
+            dp = mesh.shape[AXIS_DATA]
             if self.slots % dp != 0:
                 raise ValueError(
                     f"slots ({self.slots}) must divide evenly over the "

@@ -18,7 +18,11 @@ BASELINE.md's streaming study reports. Prints one JSON line per engine
 plus a summary. ``slots`` may be a comma list (e.g. ``128,256``): one
 streaming engine per value runs interleaved in the same window — the
 capacity-scaling probe (offer load_frac > 1 to push past the batch
-service's capacity).
+service's capacity). ``load_frac`` may ALSO be a comma list (e.g.
+``0.3,0.5,0.7,0.9,1.0``): the latency-vs-load CURVE mode (VERDICT r03
+item 5) — per level, the batch service and every streaming engine run
+back-to-back in the same window, so each row's cross-engine comparison is
+window-fair and the curve characterizes the saturation tail.
 
 Tunnel discipline (CLAUDE.md): the two engines run interleaved per load
 level within one process/window; compare the printed pair, not numbers
@@ -72,15 +76,16 @@ def main():
     from musicstyletransfer_tpu.utils import configure_jax_cache
 
     configure_jax_cache()
-    load_frac = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    load_fracs = ([float(f) for f in sys.argv[1].split(",")]
+                  if len(sys.argv) > 1 else [0.5])
     slots_list = ([int(s) for s in sys.argv[2].split(",")]
                   if len(sys.argv) > 2 else [128])
     segment_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     admit_size = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     device = _pick_device()
-    print(f"# device: {device}, load_frac={load_frac}, slots={slots_list}, "
-          f"segment_steps={segment_steps}, admit_size={admit_size}",
-          flush=True)
+    print(f"# device: {device}, load_fracs={load_fracs}, "
+          f"slots={slots_list}, segment_steps={segment_steps}, "
+          f"admit_size={admit_size}", flush=True)
 
     from bench import _flagship_model_folder, _mixed_requests
 
@@ -113,29 +118,41 @@ def main():
             for _, eng in engines:
                 eng.submit_midi(m)
 
-        # Capacity anchor: one full max-bucket batch through the service.
+        # Capacity anchor: median of 3 full max-bucket batches through the
+        # service (a single call's ±10% tunnel spread moved the anchor
+        # 322-559 req/s across recorded windows).
+        import numpy as np
+
         toks = [svc._tokens_from_midi(requests[9])] * 32
         svc.transfer_tokens(toks)  # warm the full-batch shape
-        t0 = time.perf_counter()
-        svc.transfer_tokens(toks)
-        cap = 32 / (time.perf_counter() - t0)
+        caps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            svc.transfer_tokens(toks)
+            caps.append(32 / (time.perf_counter() - t0))
+        cap = float(np.median(caps))
         print(json.dumps({"service_capacity_req_per_sec": round(cap, 1)}),
               flush=True)
 
-        rate = load_frac * cap
-        n_target = min(600, max(100, int(rate * 10)))
-        # Interleave: service then each streaming config in the same window.
-        s_batch = run_load(svc, requests, rate, n_target, "batch")
-        s_stream = None
-        for label, eng in engines:
-            s = run_load(eng, requests, rate, n_target, label)
-            s_stream = s_stream or s
-        print(json.dumps({
-            "p50_speedup_streaming": round(
-                s_batch["p50_ms"] / max(s_stream["p50_ms"], 1e-9), 2),
-            "p99_speedup_streaming": round(
-                s_batch["p99_ms"] / max(s_stream["p99_ms"], 1e-9), 2),
-        }), flush=True)
+        for load_frac in load_fracs:
+            rate = load_frac * cap
+            n_target = min(600, max(100, int(rate * 10)))
+            # Interleave: service then each streaming config per level, in
+            # the same window.
+            s_batch = run_load(svc, requests, rate, n_target,
+                               f"batch@{load_frac}")
+            summary = {"load_frac": load_frac}
+            for (label, eng), slots in zip(engines, slots_list):
+                s = run_load(eng, requests, rate, n_target,
+                             f"{label}@{load_frac}")
+                # One speedup entry PER slots config (a comma list
+                # previously collapsed to the first config's stats,
+                # silently excluding the rest from the summary).
+                summary[f"p50_speedup_streaming_slots{slots}"] = round(
+                    s_batch["p50_ms"] / max(s["p50_ms"], 1e-9), 2)
+                summary[f"p99_speedup_streaming_slots{slots}"] = round(
+                    s_batch["p99_ms"] / max(s["p99_ms"], 1e-9), 2)
+            print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,9 +29,17 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 128 \
 --d-dropout 0.2 \
 --steps-per-dispatch 8 \
+--kl-anneal-steps 2000 \
+--free-bits 0.1 \
 "$@"
 # --steps-per-dispatch 8: the canonical step became dispatch-bound when
 # per-dispatch host cost grew platform-side (same-window A/B: 28-31
 # updates/s single-step vs 187-237 at K=8 — BASELINE.md "dispatch-cost
 # shift"). Bit-identical training trajectory; pass --steps-per-dispatch 1
 # to restore per-step dispatch.
+# --kl-anneal-steps 2000 --free-bits 0.1: DOCUMENTED DIVERGENCE from the
+# reference objective (round 4). The plain objective measurably collapses
+# the latent (KL -> 0.001; target-fit looks fine while content
+# preservation dies — BASELINE.md quality table), so the shipped
+# checkpoint's recipe is the default. Pass --kl-anneal-steps 0
+# --free-bits 0 for the bare reference objective.

@@ -286,6 +286,54 @@ class TestStreamingMesh:
         assert len(shd.device_set) == 4
         assert not shd.is_fully_replicated
 
+    def test_mesh_tp2_engine_matches_single_device(self, model_folder):
+        """tp=2 mesh (data=2 x model=2): params genuinely TP-sharded, the
+        donated cycle program runs under GSPMD, and greedy transfers match
+        the single-device engine token-for-token (the tiny model's logit
+        gaps dwarf the psum reduction-order noise TP introduces)."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import AXIS_MODEL, make_mesh
+
+        reqs = [_midi_bytes((42 + i, 47 + i)) for i in range(2)]
+
+        def run(mesh):
+            eng = StreamingTransferEngine(
+                model_folder, checkpoint=-1, slots=8, max_seq_len=8,
+                segment_steps=4, admit_size=4, greedy=True, mesh=mesh,
+                harvest_delay_s=0.0,
+            )
+            return eng, [eng.submit_midi(r) for r in reqs]
+
+        _, single = run(None)
+        mesh = make_mesh(jax.devices()[:4], tp=2)
+        eng, sharded = run(mesh)
+        # The TP rules actually engaged: some param leaf is sharded over
+        # the model axis (not a silent all-replicated fallback).
+        def _spec_axes(sharding):
+            axes = []
+            for entry in tuple(getattr(sharding, "spec", ())):
+                if entry is None:
+                    continue
+                axes.extend(entry if isinstance(entry, tuple) else (entry,))
+            return axes
+
+        leaves = jax.tree.leaves(eng.params)
+        assert any(
+            isinstance(x, jax.Array)
+            and not x.sharding.is_fully_replicated
+            and AXIS_MODEL in _spec_axes(x.sharding)
+            for x in leaves
+        ), "no param leaf carries the model axis"
+        for i, (a, b) in enumerate(zip(single, sharded)):
+            assert set(a.tokens_by_class) == set(b.tokens_by_class)
+            for c in a.tokens_by_class:
+                np.testing.assert_array_equal(
+                    a.tokens_by_class[c], b.tokens_by_class[c],
+                    err_msg=f"request {i} class {c}",
+                )
+
     def test_mesh_slot_divisibility_checked(self, model_folder):
         from musicstyletransfer_tpu.inference.streaming import (
             StreamingTransferEngine,
@@ -296,6 +344,23 @@ class TestStreamingMesh:
         with pytest.raises(ValueError, match="divide evenly"):
             StreamingTransferEngine(
                 model_folder, checkpoint=-1, slots=6, max_seq_len=8,
+                admit_size=2, mesh=mesh,
+            )
+
+    def test_mesh_without_data_axis_rejected(self, model_folder):
+        """A mesh lacking the data axis must fail AT CONSTRUCTION with a
+        descriptive error, not later as an opaque device_put failure
+        inside the engine loop."""
+        from jax.sharding import Mesh
+
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("model",))
+        with pytest.raises(ValueError, match="data"):
+            StreamingTransferEngine(
+                model_folder, checkpoint=-1, slots=8, max_seq_len=8,
                 admit_size=2, mesh=mesh,
             )
 
