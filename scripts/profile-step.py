@@ -30,6 +30,7 @@ def main() -> None:
         return
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     remat = (sys.argv[2] not in ("0", "false")) if len(sys.argv) > 2 else False
+    big = "--big" in sys.argv  # wide config: enc 4x1024 h16 / dec 2x512
 
     import jax
     import jax.numpy as jnp
@@ -50,7 +51,12 @@ def main() -> None:
         LossConfig, create_train_state, make_train_step,
     )
 
-    cfg = sweep.scaled_config(remat)
+    if big:
+        sweep._D_ENC, sweep._D_DEC = 1024, 512
+    cfg = sweep.scaled_config(
+        remat, d_enc=sweep._D_ENC, d_dec=sweep._D_DEC,
+        heads=8 if sweep._D_ENC <= 512 else 16,
+    )
     L = 512
     with jax.default_device(device):
         model = make_model(cfg)
@@ -132,7 +138,8 @@ def report(trace_dir: str, n: int) -> None:
         if re.search(r"\[\d+,\d+,(\d+),\1\]", long):
             return "attention core [B,H,T,T]"
         if ("512,2048]" in long or "2048,512]" in long
-                or "256,1024]" in long or "1024,256]" in long):
+                or "256,1024]" in long or "1024,256]" in long
+                or "1024,4096]" in long or "4096,1024]" in long):
             # Includes the FFN weight-grad matmuls XLA fuses with their
             # adam update (output tuple of param/mu/nu).
             return "FFN matmul (+fused adam)"
