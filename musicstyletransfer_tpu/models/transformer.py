@@ -69,6 +69,29 @@ class FeedForward(nn.Module):
         return self.ff2(x)
 
 
+class _ProjParams(nn.Module):
+    """Parameter twin of ``nn.Dense`` (same path, shapes, initializers) that
+    is never *called*: it only holds kernel/bias so the attention block can
+    concatenate the Q/K/V kernels into ONE ``[D, 3D]`` MXU dot at apply time
+    while the param tree — and with it every shipped checkpoint, the TP
+    sharding rules (parallel/mesh.py) and the fused-decode param packer —
+    stays bit-identical to the historical three-Dense layout."""
+
+    features: int
+    in_features: int
+
+    def setup(self) -> None:
+        self.kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Standard scaled-dot self-attention with batched train path and a
     single-position cached step path (reference: transformer.py:49-126).
@@ -91,13 +114,54 @@ class MultiHeadSelfAttention(nn.Module):
     def setup(self) -> None:
         assert self.model_size % self.num_heads == 0
         self.head_dim = self.model_size // self.num_heads
-        self.w_q = nn.Dense(self.model_size, dtype=self.dtype, name="w_q")
-        self.w_k = nn.Dense(self.model_size, dtype=self.dtype, name="w_k")
-        self.w_v = nn.Dense(self.model_size, dtype=self.dtype, name="w_v")
+        D = self.model_size
+        self.w_q = _ProjParams(features=D, in_features=D, name="w_q")
+        self.w_k = _ProjParams(features=D, in_features=D, name="w_k")
+        self.w_v = _ProjParams(features=D, in_features=D, name="w_v")
         self.w_o = nn.Dense(self.model_size, dtype=self.dtype, name="w_o")
 
     def _heads(self, x: jax.Array) -> jax.Array:
         return x.reshape(*x.shape[:-1], self.num_heads, self.head_dim)
+
+    def _fused_qkv_ok(self) -> bool:
+        """The Q/K/V kernels are column-sharded ``(None, "model")`` under
+        tensor parallelism; an apply-time concat of three column-sharded
+        arrays would make GSPMD reshard them every step. Fuse only when no
+        live mesh has a >1 model axis."""
+        from ..parallel.mesh import AXIS_MODEL, current_mesh
+
+        mesh = current_mesh()
+        return mesh is None or mesh.shape.get(AXIS_MODEL, 1) <= 1
+
+    def _qkv(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Q/K/V projection. Single-device / dp meshes run ONE ``[D, 3D]``
+        dot (wide-model profile: three same-activation ``[D, D]`` dots
+        tile the MXU N dimension 3x worse and triple the matmul dispatches
+        fwd AND bwd — dX and dW each collapse to one dot too); tp>1 meshes
+        keep three dots so the column-sharded kernels never reshard."""
+        dt = self.dtype
+        xd = x.astype(dt)
+        if self._fused_qkv_ok():
+            w = jnp.concatenate(
+                [
+                    self.w_q.kernel.astype(dt),
+                    self.w_k.kernel.astype(dt),
+                    self.w_v.kernel.astype(dt),
+                ],
+                axis=1,
+            )
+            b = jnp.concatenate(
+                [
+                    self.w_q.bias.astype(dt),
+                    self.w_k.bias.astype(dt),
+                    self.w_v.bias.astype(dt),
+                ]
+            )
+            qkv = xd @ w + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            return q, k, v
+        proj = lambda p: xd @ p.kernel.astype(dt) + p.bias.astype(dt)  # noqa: E731
+        return proj(self.w_q), proj(self.w_k), proj(self.w_v)
 
     def _ring_eligible(self, x: jax.Array) -> bool:
         """Ring attention engages on a live mesh with a >1 "model" axis and
@@ -119,9 +183,8 @@ class MultiHeadSelfAttention(nn.Module):
 
     def __call__(self, x: jax.Array, key_mask: jax.Array) -> jax.Array:
         """x: [B, T, D]; key_mask: [B, T] True at valid (non-PAD) keys."""
-        q = self._heads(self.w_q(x))
-        k = self._heads(self.w_k(x))
-        v = self._heads(self.w_v(x))
+        q, k, v = self._qkv(x)
+        q, k, v = self._heads(q), self._heads(k), self._heads(v)
         if self._ring_eligible(x):
             from ..ops.ring_attention import ring_attention_sharded
 
@@ -181,9 +244,10 @@ class MultiHeadSelfAttention(nn.Module):
         """
         S = x_t.shape[0]
         T = cache_k.shape[1]
-        k_t = self._heads(self.w_k(x_t))[:, None]  # [S, 1, H, hd]
-        v_t = self._heads(self.w_v(x_t))[:, None]
-        q_t = self._heads(self.w_q(x_t))  # [S, H, hd]
+        q_t, k_t, v_t = self._qkv(x_t)
+        k_t = self._heads(k_t)[:, None]  # [S, 1, H, hd]
+        v_t = self._heads(v_t)[:, None]
+        q_t = self._heads(q_t)  # [S, H, hd]
         positions = jnp.arange(T)
         write = (positions[None, :] == t[:, None])[:, :, None, None]
         cache_k = jnp.where(write, k_t.astype(cache_k.dtype), cache_k)
@@ -206,9 +270,10 @@ class MultiHeadSelfAttention(nn.Module):
         Returns (out [B, D], new_cache_k, new_cache_v).
         """
         B = x_t.shape[0]
-        k_t = self._heads(self.w_k(x_t))[:, None]  # [B, 1, H, hd]
-        v_t = self._heads(self.w_v(x_t))[:, None]
-        q_t = self._heads(self.w_q(x_t))  # [B, H, hd]
+        q_t, k_t, v_t = self._qkv(x_t)
+        k_t = self._heads(k_t)[:, None]  # [B, 1, H, hd]
+        v_t = self._heads(v_t)[:, None]
+        q_t = self._heads(q_t)  # [B, H, hd]
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k_t.astype(cache_k.dtype), (0, t, 0, 0)
         )
