@@ -15,7 +15,12 @@ Host-side, distribution-level checks of generated token streams:
   source sequence. Style transfer should keep the source's content, so
   this must stay small; a collapsed latent (decoder ignoring z) shows up
   as an excellent target fit with terrible content preservation — target
-  fit alone is not a quality signal.
+  fit alone is not a quality signal. The companion
+  ``pitch_js_to_shuffled_source`` (same statistic against a ROTATED
+  source row) is the null: a decoder that ignores z scores the same on
+  both, a content-preserving one scores own < shuffled. Per-row
+  histograms over ~60-event sequences are noisy, so the absolute value
+  matters less than the own/shuffled gap.
 """
 
 from __future__ import annotations
@@ -92,6 +97,7 @@ def transfer_stats(
     transfer_rows: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
     source_hists: List[np.ndarray] = []
     own_source_js: List[float] = []
+    shuffled_source_js: List[float] = []
     rng = jax.random.key(seed)
     for bi, batch in enumerate(dataset):
         b = batch.to_batch() if hasattr(batch, "to_batch") else batch
@@ -117,9 +123,16 @@ def transfer_stats(
                     n_terminated += 1
                 lengths.append(int(np.sum(row != PAD_ID)) - 1)  # minus SOS
                 transfer_rows[c].append(row)
+                row_hist = pitch_class_histogram([row])
                 own_source_js.append(js_divergence(
-                    pitch_class_histogram([row]),
-                    pitch_class_histogram([tokens_np[i]]),
+                    row_hist, pitch_class_histogram([tokens_np[i]])
+                ))
+                # Null for content preservation: the same statistic
+                # against a DIFFERENT (rotated) source row. z carrying
+                # row-specific content shows up as own < shuffled.
+                shuffled_source_js.append(js_divergence(
+                    row_hist,
+                    pitch_class_histogram([tokens_np[(i + 1) % nv]]),
                 ))
         source_hists.append(pitch_class_histogram(tokens_np[:nv]))
     corpus_hist = [pitch_class_histogram(rows) for rows in class_rows]
@@ -152,6 +165,9 @@ def transfer_stats(
         "pitch_js_to_source_mix": float(np.mean(source_js)),
         "pitch_js_to_own_source": (
             float(np.mean(own_source_js)) if own_source_js else 0.0
+        ),
+        "pitch_js_to_shuffled_source": (
+            float(np.mean(shuffled_source_js)) if shuffled_source_js else 0.0
         ),
         "octave_js_to_target_class": float(np.mean(target_oct_js)),
         "octave_js_to_other_classes": (
