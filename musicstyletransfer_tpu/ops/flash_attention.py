@@ -17,13 +17,15 @@ Layout: per-(batch*head) grid row, q processed in blocks. Two regimes:
   diagonal, so beyond-diagonal blocks resolve to the same block index and
   Mosaic skips their DMA entirely (no wasted bandwidth).
 
-Training: wrapped in jax.custom_vjp; the backward pass is its own pair of
-Pallas kernels (dQ, then dK/dV) that recompute probability blocks from the
-saved per-row logsumexp — rematerializing FLOPs to keep memory O(T), the
-right trade on TPU where HBM bandwidth is the bottleneck. Measured fwd+bwd
-on v5e (causal, bf16, B=8 H=8 D=64, BENCH_r02): 0.90x vs XLA at T=512,
-1.12x at 1024, 1.51x at 2048, 2.12x at 4096 — the model layer therefore
-engages flash only at T >= TransformerConfig.flash_min_seq_len (1024).
+Training: wrapped in jax.custom_vjp; the backward recomputes probability
+blocks from the saved per-row logsumexp — rematerializing FLOPs to keep
+memory O(T), the right trade on TPU where HBM bandwidth is the bottleneck.
+The resident regime runs dQ/dK/dV in ONE single-pass kernel
+(``_dqkv_kernel``, round 4 — each recomputed P block feeds all three
+gradients); the streaming regime keeps the split dQ / dK-dV kernel pair,
+whose operand re-reads are what the third grid axis already streams.
+The model layer engages flash at T >= TransformerConfig.flash_min_seq_len
+(see BASELINE.md for the measured crossover).
 
 Numerical contract: matches ``reference_attention`` (plain XLA) to ~1e-5
 (f32); tests run the kernel in interpreter mode on CPU.
@@ -408,7 +410,7 @@ def _flash_forward_with_lse(q, k, v, key_lens, causal, sm_scale, interpret):
     return out, lse
 
 
-def _dq_kernel(
+def _dqkv_kernel(
     lens_ref,  # SMEM [1, 1]
     q_ref,  # VMEM [block_q, D]
     do_ref,  # VMEM [block_q, D]
@@ -417,16 +419,41 @@ def _dq_kernel(
     k_ref,  # VMEM [T, D]
     v_ref,  # VMEM [T, D]
     dq_ref,  # VMEM [block_q, D]
+    dk_ref,  # VMEM [T, D]   (same block every qi; written at the last qi)
+    dv_ref,  # VMEM [T, D]
+    dk_acc,  # scratch [T, D] f32, persists across the q grid axis
+    dv_acc,  # scratch [T, D] f32
     *,
     block_q: int,
     block_k: int,
     seq_len: int,
+    num_q: int,
     causal: bool,
     sm_scale: float,
 ):
-    """dQ = scale * sum_k (P * (dO V^T - Delta)) K, blockwise over k."""
+    """Single-pass resident backward: dQ, dK and dV from ONE kernel.
+
+    The split ``_dq_kernel`` + ``_dkv_kernel`` pair each recompute the
+    S = QK^T blocks from scratch, so the resident backward paid the
+    score-matrix matmul twice and read every operand (q, k, v, dO, lse,
+    delta) twice from HBM. Here each recomputed P block feeds all three
+    gradients — ~1/3 fewer backward matmul FLOPs, half the operand
+    traffic, and one kernel dispatch instead of two. This is what moves
+    fwd+bwd flash past XLA at short T (the T=512 regime where the split
+    backward measured 0.90x, BENCH_r03). dK/dV ride f32 VMEM scratch
+    that persists across the q-block grid axis and are written back once
+    at the last q block.
+    """
     qi = pl.program_id(1)
     valid_len = lens_ref[0, 0]
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    # q pre-scaled: S blocks match the forward, and dsT @ q_scaled folds
+    # the sm_scale that dK needs (dq applies its own scale at the end).
     q = q_ref[:].astype(jnp.float32) * sm_scale
     do = do_ref[:].astype(jnp.float32)
     lse = lse_ref[:]
@@ -435,6 +462,10 @@ def _dq_kernel(
     q_pos = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0
     )
+    # Rows whose lse is the fully-masked sentinel (no visible key ANYWHERE
+    # — ring off-diagonal calls produce these) contribute nothing to any
+    # gradient; exp(s - sentinel) would overflow (see _dkv_stream_kernel).
+    live_row = lse > -1e29
 
     num_k_blocks = pl.cdiv(jnp.minimum(valid_len, seq_len), block_k)
     if causal:
@@ -448,19 +479,28 @@ def _dq_kernel(
         s = jax.lax.dot_general(
             q, kblk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [bq, bk]
         k_pos = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
-        mask = k_pos < valid_len
+        mask = (k_pos < valid_len) & live_row
         if causal:
             mask = mask & (k_pos <= q_pos)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [bq, bk]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, vblk, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta)
+        ks = pl.ds(ki * block_k, block_k)
+        dv_acc[ks, :] = dv_acc[ks, :] + jax.lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_acc[ks, :] = dk_acc[ks, :] + jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return dq + jax.lax.dot_general(
             ds, kblk, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -471,85 +511,10 @@ def _dq_kernel(
     )
     dq_ref[:] = (dq * sm_scale).astype(dq_ref.dtype)
 
-
-def _dkv_kernel(
-    lens_ref,  # SMEM [1, 1]
-    k_ref,  # VMEM [block_k, D]
-    v_ref,  # VMEM [block_k, D]
-    q_ref,  # VMEM [T, D]
-    do_ref,  # VMEM [T, D]
-    lse_ref,  # VMEM [T, 1]
-    delta_ref,  # VMEM [T, 1]
-    dk_ref,  # VMEM [block_k, D]
-    dv_ref,  # VMEM [block_k, D]
-    *,
-    block_q: int,
-    block_k: int,
-    seq_len: int,
-    causal: bool,
-    sm_scale: float,
-):
-    """dK = scale * sum_q (P * (dO V^T - Delta))^T Q;  dV = sum_q P^T dO."""
-    ki = pl.program_id(1)
-    valid_len = lens_ref[0, 0]
-    kblk = k_ref[:].astype(jnp.float32)
-    vblk = v_ref[:].astype(jnp.float32)
-    D = kblk.shape[-1]
-    k_pos = ki * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
-
-    num_q_blocks = seq_len // block_q
-    # Causal: query blocks strictly before this key block contribute nothing.
-    start_q = (ki * block_k) // block_q if causal else 0
-
-    def body(qi, carry):
-        dk, dv = carry
-        qblk = q_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        doblk = do_ref[pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(qi * block_q, block_q), :]
-        delta = delta_ref[pl.ds(qi * block_q, block_q), :]
-        s = jax.lax.dot_general(
-            qblk * sm_scale, kblk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [bq, bk]
-        q_pos = qi * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 0
-        )
-        mask = k_pos < valid_len
-        if causal:
-            mask = mask & (k_pos <= q_pos)
-        # Drop query rows with NO visible keys: their lse is the -1e30
-        # sentinel and exp(s - lse) overflows. (Testing lse itself — not
-        # q_pos vs valid_len — keeps rows that are valid queries over a
-        # partial key set, which ring attention's off-diagonal chunk calls
-        # rely on: there q_pos indexes the QUERY chunk while valid_len
-        # counts the visiting KEY chunk.)
-        mask = mask & (lse > -1e29)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dv_new = dv + jax.lax.dot_general(
-            p, doblk, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            doblk, vblk, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta)
-        dk_new = dk + jax.lax.dot_general(
-            ds, qblk, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk_new, dv_new
-
-    dk, dv = jax.lax.fori_loop(
-        start_q, num_q_blocks, body,
-        (jnp.zeros((block_k, D), jnp.float32),
-         jnp.zeros((block_k, D), jnp.float32)),
-    )
-    dk_ref[:] = (dk * sm_scale).astype(dk_ref.dtype)
-    dv_ref[:] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == num_q - 1)
+    def _finalize():
+        dk_ref[:] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[:] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _dq_stream_kernel(
@@ -652,7 +617,7 @@ def _dkv_stream_kernel(
     # Do NOT gate on qi vs valid_len: valid_len counts KEYS, and in ring
     # off-diagonal calls the query chunk is a different range entirely —
     # query rows at/after the key count still contribute dK/dV (same
-    # invariant as _dkv_kernel's lse-sentinel mask). Zero-visible-key rows
+    # invariant as _dqkv_kernel's lse-sentinel mask). Zero-visible-key rows
     # are dropped by that mask below; causal additionally skips query
     # blocks strictly before this key block.
     active = jnp.bool_(True)
@@ -679,7 +644,7 @@ def _dkv_stream_kernel(
         mask = k_pos < valid_len
         if causal:
             mask = mask & (k_pos <= q_pos)
-        # Zero-visible-key query rows only (lse sentinel) — see _dkv_kernel.
+        # Zero-visible-key query rows only (lse sentinel) — see _dqkv_kernel.
         mask = mask & (lse_ref[:] > -1e29)
         p = jnp.where(mask, jnp.exp(s - lse_ref[:]), 0.0)
         dv_acc_ref[...] = dv_acc_ref[...] + jax.lax.dot_general(
@@ -832,43 +797,40 @@ def _flash_backward(q, k, v, key_lens, lse, out, g, causal, sm_scale,
     deltaf = delta.reshape(BH, T_pad, 1)
     lens = jnp.repeat(key_lens.astype(jnp.int32), H).reshape(BH, 1, 1)
 
-    kernel_args = dict(
-        block_q=block_q, block_k=block_k, seq_len=T_pad, causal=causal,
-        sm_scale=sm_scale,
-    )
+    num_q = T_pad // block_q
     row_spec = lambda bs: pl.BlockSpec((None, bs, D), lambda bh, i: (bh, i, 0),
                                        memory_space=pltpu.VMEM)
     col1_spec = lambda bs: pl.BlockSpec((None, bs, 1), lambda bh, i: (bh, i, 0),
                                         memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec((None, T_pad, D), lambda bh, i: (bh, 0, 0),
                              memory_space=pltpu.VMEM)
-    full1_spec = pl.BlockSpec((None, T_pad, 1), lambda bh, i: (bh, 0, 0),
-                              memory_space=pltpu.VMEM)
     lens_spec = pl.BlockSpec((None, 1, 1), lambda bh, i: (bh, 0, 0),
                              memory_space=pltpu.SMEM)
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, **kernel_args),
-        grid=(BH, T_pad // block_q),
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _dqkv_kernel, block_q=block_q, block_k=block_k, seq_len=T_pad,
+            num_q=num_q, causal=causal, sm_scale=sm_scale,
+        ),
+        grid=(BH, num_q),
         in_specs=[lens_spec, row_spec(block_q), row_spec(block_q),
-                  col1_spec(block_q), col1_spec(block_q), full_spec, full_spec],
-        out_specs=row_spec(block_q),
-        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
-        interpret=interpret,
-    )(lens, qf, dof, lsef, deltaf, kf, vf)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, **kernel_args),
-        grid=(BH, T_pad // block_k),
-        in_specs=[lens_spec, row_spec(block_k), row_spec(block_k),
-                  full_spec, full_spec, full1_spec, full1_spec],
-        out_specs=[row_spec(block_k), row_spec(block_k)],
+                  col1_spec(block_q), col1_spec(block_q), full_spec,
+                  full_spec],
+        out_specs=[row_spec(block_q), full_spec, full_spec],
         out_shape=[
             jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
             jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, D), q.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((T_pad, D), jnp.float32),
+            pltpu.VMEM((T_pad, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
         interpret=interpret,
-    )(lens, kf, vf, qf, dof, lsef, deltaf)
+    )(lens, qf, dof, lsef, deltaf, kf, vf)
 
     def unpad(x):
         return x.reshape(B, H, T_pad, D)[:, :, :T, :]
