@@ -99,7 +99,16 @@ def main(argv=None) -> None:
     if args.transfer_stats:
         from ..inference.quality import transfer_stats
 
-        vals.update(transfer_stats(model, params, dataset,
+        # Seeded-shuffled dataset for the stats pass: transfer_stats'
+        # content-preservation NULL rotates sources within a batch, and
+        # unshuffled batches are consecutive chunks of the same file,
+        # which deflates the null (neighbor chunks share content). The
+        # metric pass above stays in corpus order (order-invariant).
+        stats_dataset = MelodyDataset(
+            args.batch_size, args.max_seq_len, loader.melodies,
+            shuffle=True, seed=0,
+        )
+        vals.update(transfer_stats(model, params, stats_dataset,
                                    dataset.num_classes(),
                                    max_batches=args.stats_batches))
     print(json.dumps({k: round(v, 6) for k, v in sorted(vals.items())}))

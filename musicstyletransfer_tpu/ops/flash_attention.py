@@ -177,9 +177,14 @@ def flash_attention(
     return out
 
 
-# Max q/k block edge; longer sequences use bigger blocks to amortize the
-# online-softmax loop (tunable; see bench history in commit messages).
-_MAX_BLOCK = 256
+# Max q/k block edge for the resident regime. Probed on v5e (fwd+bwd,
+# causal bf16 B=8 H=8 D=64, interleaved medians, round 4): 512 beats 256
+# at BOTH T=512 (2.74 vs 2.93 ms) and T=2048 (5.89 vs 6.60 ms) — fewer
+# grid programs and bigger MXU tiles beat the finer causal-skip
+# granularity at every resident size. 1024 blows the 16 MB scoped-VMEM
+# budget in the combined backward ([bq,bk] f32 tiles + the dK/dV
+# accumulators) and fails to compile at T=2048.
+_MAX_BLOCK = 512
 
 # At/above this padded length, K/V stream from HBM block-by-block instead
 # of living whole in VMEM (the resident path's footprint grows linearly
@@ -195,7 +200,7 @@ _STREAM_BLOCK = 1024
 
 
 def _block_for(T: int) -> int:
-    return min(_MAX_BLOCK if T < 2048 else 512, _round_up(T, 8))
+    return min(_MAX_BLOCK, _round_up(T, 8))
 
 
 def _flash_stream_kernel(
