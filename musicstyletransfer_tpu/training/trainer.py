@@ -454,6 +454,15 @@ class Trainer:
             "Validation: "
             + " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items()))
         )
+        # Improvement metric. The reference tracks validation TOTAL loss
+        # (its objective is stationary). Under KL annealing the total's
+        # beta rises across checkpoints, so early low-beta checkpoints
+        # would win forever — measured on the round-4 wide run, where
+        # "best" ckpt 2 (total 9.67) evaluates at acc 0.209 / CE 2.20
+        # downstream while ckpt 14 reads acc 0.427 / CE 1.50. Track the
+        # beta-independent reconstruction CE when annealing is active.
+        if self.config.kl_anneal_steps > 0:
+            return vals["ce_loss"]
         return vals["total_loss"]
 
     def _checkpoint(self, model_folder: str, validation_dataset) -> None:
