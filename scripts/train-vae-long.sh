@@ -34,6 +34,13 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 256 \
 --d-dropout 0.1 \
 --use-flash-attention \
+--kl-anneal-steps 2000 \
+--free-bits 0.1 \
 --ring-attention \
 --tp "${TP:-2}" \
 "$@"
+# --kl-anneal-steps 2000 --free-bits 0.1: same documented divergence
+# as train-vae.sh — the plain objective measurably collapses the
+# latent at this scale (KL 0.001 on the round-3 scaled run;
+# BASELINE.md scaled-run footnote). Pass --kl-anneal-steps 0
+# --free-bits 0 for the bare reference objective.

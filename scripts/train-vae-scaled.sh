@@ -28,6 +28,8 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 256 \
 --d-dropout 0.1 \
 --use-flash-attention \
+--kl-anneal-steps 2000 \
+--free-bits 0.1 \
 --steps-per-dispatch 4 \
 "$@"
 # --remat removed in round 3: the measured sweep (scripts/mfu-sweep.py)
@@ -37,3 +39,8 @@ python -m musicstyletransfer_tpu.cli.main \
 # to ~9.5 ms for this program class (device op time unchanged at 11.65
 # ms/step — BASELINE.md "dispatch-cost shift"); 4 steps per program
 # amortizes it to noise. Exact same semantics as 4 single steps.
+# --kl-anneal-steps 2000 --free-bits 0.1: same documented divergence
+# as train-vae.sh — the plain objective measurably collapses the
+# latent at this scale (KL 0.001 on the round-3 scaled run;
+# BASELINE.md scaled-run footnote). Pass --kl-anneal-steps 0
+# --free-bits 0 for the bare reference objective.
