@@ -5,7 +5,9 @@
 # ring pads the time axis internally); 2046 keeps the decoder's T = L+2 at
 # a round 2048.
 # On a single chip the ring is ineligible and the stacks fall back to the
-# HBM-streaming flash kernel — same command, graceful degradation.
+# HBM-streaming flash kernel — same command, graceful degradation (TP
+# defaults to 1 so the command runs anywhere; set TP=2.. on a multi-chip
+# host to engage the ring — make_mesh rejects TP > device count).
 # Single-chip step-time table for these lengths: BASELINE.md
 # "Long-sequence training".
 set -e
@@ -37,7 +39,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --kl-anneal-steps 2000 \
 --free-bits 0.1 \
 --ring-attention \
---tp "${TP:-2}" \
+--tp "${TP:-1}" \
 "$@"
 # --kl-anneal-steps 2000 --free-bits 0.1: same documented divergence
 # as train-vae.sh — the plain objective measurably collapses the
