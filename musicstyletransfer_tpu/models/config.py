@@ -93,6 +93,15 @@ class TransformerConfig(Config):
     # 1.12x at 1024, 1.51x at 2048, 2.12x at 4096); below this the dense
     # path runs even with use_flash_attention=True. Set 0 to force flash.
     flash_min_seq_len: int = 1024
+    # Fused short-T attention core (ops/attention_core.py): consumes the
+    # QKV projection's output in its natural interleaved layout and keeps
+    # the [T, T] scores VMEM-resident — no HBM score tensor, no layout
+    # transposes, near-free custom-VJP boundary. Engages for
+    # attention_core_min_seq_len <= T < flash_min_seq_len when
+    # use_flash_attention is on (single model-axis meshes). 0 disables
+    # (the XLA materializing path runs instead). Default measured on v5e:
+    # see BASELINE.md "fused attention core" (round 4).
+    attention_core_min_seq_len: int = 0
     # Sequence parallelism: constrain activations to shard the time axis
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.

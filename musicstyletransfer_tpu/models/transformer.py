@@ -108,6 +108,10 @@ class MultiHeadSelfAttention(nn.Module):
     use_flash: bool = False
     # Flash only pays off past this length (measured; see TransformerConfig).
     flash_min_seq_len: int = 1024
+    # Below flash_min_seq_len the fused short-T core (ops/attention_core.py)
+    # takes the batched path instead of XLA, from this length up (measured;
+    # see TransformerConfig.attention_core_min_seq_len). 0 disables.
+    core_min_seq_len: int = 0
     use_ring: bool = False
     dtype: Any = jnp.float32
 
@@ -163,6 +167,52 @@ class MultiHeadSelfAttention(nn.Module):
         proj = lambda p: xd @ p.kernel.astype(dt) + p.bias.astype(dt)  # noqa: E731
         return proj(self.w_q), proj(self.w_k), proj(self.w_v)
 
+    def _qkv_interleaved(self, x: jax.Array) -> jax.Array:
+        """QKV projection emitting the per-head-interleaved layout the
+        fused attention core consumes: column group ``h`` of the output is
+        ``[q_h | k_h | v_h]``. The permutation happens on the WEIGHT side
+        (a [D, 3D] reshuffle, 4x smaller than the activation and hoisted
+        into the same fused matmul), so no activation-side transpose or
+        [B, H, T, hd] array ever materializes — the core kernel's whole
+        point (ops/attention_core.py docstring)."""
+        dt = self.dtype
+        D, H, hd = self.model_size, self.num_heads, self.head_dim
+        w = jnp.stack(
+            [
+                self.w_q.kernel.astype(dt).reshape(D, H, hd),
+                self.w_k.kernel.astype(dt).reshape(D, H, hd),
+                self.w_v.kernel.astype(dt).reshape(D, H, hd),
+            ],
+            axis=2,
+        ).reshape(D, H * 3 * hd)
+        b = jnp.stack(
+            [
+                self.w_q.bias.astype(dt).reshape(H, hd),
+                self.w_k.bias.astype(dt).reshape(H, hd),
+                self.w_v.bias.astype(dt).reshape(H, hd),
+            ],
+            axis=1,
+        ).reshape(H * 3 * hd)
+        return x.astype(dt) @ w + b
+
+    def _core_eligible(self, x: jax.Array) -> bool:
+        """The fused short-T core engages in the window
+        [core_min_seq_len, min(flash_min_seq_len, MAX_CORE_SEQ_LEN)) when
+        Pallas attention is enabled and neither ring attention nor a >1
+        model axis (which column-shards the QKV kernels) applies."""
+        from ..ops.attention_core import MAX_CORE_SEQ_LEN
+
+        T = x.shape[1]
+        lo = self.core_min_seq_len
+        return (
+            self.use_flash
+            and 0 < lo <= T
+            and T < self.flash_min_seq_len
+            and T <= MAX_CORE_SEQ_LEN
+            and self._fused_qkv_ok()
+            and not self._ring_eligible(x)
+        )
+
     def _ring_eligible(self, x: jax.Array) -> bool:
         """Ring attention engages on a live mesh with a >1 "model" axis and
         a batch the data axis divides; the time axis need not divide the
@@ -183,6 +233,17 @@ class MultiHeadSelfAttention(nn.Module):
 
     def __call__(self, x: jax.Array, key_mask: jax.Array) -> jax.Array:
         """x: [B, T, D]; key_mask: [B, T] True at valid (non-PAD) keys."""
+        if self._core_eligible(x):
+            from ..ops.attention_core import attention_core
+            from ..ops.flash_attention import should_interpret
+
+            qkv = self._qkv_interleaved(x)
+            key_lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+            ctx = attention_core(
+                qkv, key_lens, self.num_heads, self.causal, None,
+                should_interpret(),
+            )
+            return self.w_o(ctx)
         q, k, v = self._qkv(x)
         q, k, v = self._heads(q), self._heads(k), self._heads(v)
         if self._ring_eligible(x):
@@ -308,6 +369,7 @@ class TransformerLayer(nn.Module):
             causal=self.causal,
             use_flash=c.use_flash_attention,
             flash_min_seq_len=getattr(c, "flash_min_seq_len", 1024),
+            core_min_seq_len=getattr(c, "attention_core_min_seq_len", 0),
             use_ring=getattr(c, "ring_attention", False),
             dtype=self.dtype,
         )

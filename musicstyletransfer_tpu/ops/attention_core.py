@@ -1,0 +1,305 @@
+"""Pallas TPU short-sequence attention core over the interleaved QKV
+activation — the boundary-free companion to ops/flash_attention.py.
+
+Why a second attention kernel exists (measured, BASELINE.md "Attention at
+T<=512"): at T <= ~512 the streaming flash kernel matches XLA standalone
+(0.975x) yet LOSES ~1.4x in-model, because its [B, H, T, D] calling
+convention forces six materialized layout transposes per layer-unit and
+its custom-VJP boundary cuts every fusion XLA would otherwise run into
+the attention matmuls. XLA's own attention at these lengths is
+HBM-roofline-bound on the [B, H, T, T] score tensor it materializes.
+
+This kernel removes BOTH costs at once:
+
+- It consumes the QKV projection's output **directly in its natural
+  [B, T, H*(3*head_dim)] layout** (the projection's fused weight is
+  column-permuted per head — transformer.py::_qkv_interleaved — which is
+  free: a weight-side permutation instead of an activation-side
+  transpose). No [B, H, T, D] arrays ever exist, forward or backward.
+- Scores live only in VMEM: one grid step per (batch row, head) computes
+  the full [T, T] softmax attention for that head — no online-softmax
+  rescaling passes needed because T is small enough for the whole score
+  tile to be resident (f32 [T, T] <= 4 MB at T = 1024, the hand-off
+  point to the flash kernel).
+- The custom-VJP residuals are the qkv activation itself (which the
+  projection matmul materializes ANYWAY) plus the [B, H, T] logsumexp
+  and the [B, T, D] context — there are no extra transposed copies for
+  the boundary to save, so the boundary costs ~nothing.
+
+The backward recomputes P from the saved lse (flash discipline: trade
+FLOPs for HBM) and emits the gradient already assembled in the same
+interleaved [B, T, H*(3*hd)] layout, so d(projection) is one plain XLA
+matmul pair — no scatter, no transpose.
+
+Reference hot path being replaced: the reference computes eager per-op
+attention (transformer.py:79-104) — this kernel is where those FLOPs land
+at the T < flash_min_seq_len regime of the scaled/wide configs.
+
+Numerical contract: matches ``reference_attention`` (plain XLA) to ~1e-5
+in f32; tests run interpreter mode on CPU (tests/test_attention_core.py)
+and scripts/tpu-parity.py re-checks compiled-on-TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+# The resident [T, T] f32 score tile caps this kernel's reach; beyond it
+# the streaming flash kernel is both necessary and faster (BASELINE.md
+# long-sequence table). Kept in sync with flash_min_seq_len's default.
+MAX_CORE_SEQ_LEN = 1024
+
+
+def _core_fwd_kernel(
+    lens_ref,  # SMEM [1, 1] valid key count for this batch row
+    qkv_ref,  # VMEM [1, T, 3*hd] this head's [q | k | v] columns
+    o_ref,  # VMEM [1, T, hd]
+    lse_ref,  # VMEM [1, 1, T, 1] per-row logsumexp residual
+    *,
+    head_dim: int,
+    causal: bool,
+    sm_scale: float,
+):
+    hd = head_dim
+    valid_len = lens_ref[0, 0]
+    qkv = qkv_ref[0]  # [T, 3*hd]
+    q = qkv[:, 0:hd] * jnp.asarray(sm_scale, qkv.dtype)
+    k = qkv[:, hd : 2 * hd]
+    v = qkv[:, 2 * hd : 3 * hd]
+    T = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, T] f32 out of the MXU
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = k_pos < valid_len
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        mask = mask & (k_pos <= q_pos)
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # Zero masked entries explicitly: a fully-masked row has m = -1e30 and
+    # exp(s - m) = 1 there, not 0 (flash kernel's same guard).
+    p = jnp.where(mask, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # Fully-masked query rows (l == 0) emit zeros, like the flash kernel.
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _core_bwd_kernel(
+    lens_ref,  # SMEM [1, 1]
+    qkv_ref,  # VMEM [1, T, 3*hd]
+    lse_ref,  # VMEM [1, 1, T, 1]
+    o_ref,  # VMEM [1, T, hd] saved context (for delta = rowsum(dO * O))
+    do_ref,  # VMEM [1, T, hd]
+    dqkv_ref,  # VMEM [1, T, 3*hd] — [dq | dk | dv], same layout as qkv
+    *,
+    head_dim: int,
+    causal: bool,
+    sm_scale: float,
+):
+    hd = head_dim
+    valid_len = lens_ref[0, 0]
+    qkv = qkv_ref[0]
+    # q pre-scaled: S matches the forward, and dS^T @ q_scaled folds the
+    # sm_scale dK needs (dq applies its own at the end) — _dqkv_kernel's
+    # same discipline, f32 operands throughout.
+    q = qkv[:, 0:hd].astype(jnp.float32) * sm_scale
+    k = qkv[:, hd : 2 * hd].astype(jnp.float32)
+    v = qkv[:, 2 * hd : 3 * hd].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # [T, 1] f32
+    T = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    # Fully-masked rows carry the -1e30 lse sentinel; exp(s - sentinel)
+    # would overflow, and they contribute nothing to any gradient.
+    mask = (k_pos < valid_len) & (lse > -1e29)
+    if causal:
+        q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        mask = mask & (k_pos <= q_pos)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [T, T] f32
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [T, 1]
+    dp = jax.lax.dot_general(
+        do, v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds, k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    dk = jax.lax.dot_general(
+        ds, q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(
+        p, do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dt = dqkv_ref.dtype
+    dqkv_ref[0, :, 0:hd] = dq.astype(dt)
+    dqkv_ref[0, :, hd : 2 * hd] = dk.astype(dt)
+    dqkv_ref[0, :, 2 * hd : 3 * hd] = dv.astype(dt)
+
+
+def _core_forward(qkv, key_lens, num_heads, causal, sm_scale, interpret):
+    B, T, W = qkv.shape
+    hd = W // (3 * num_heads)
+    lens = key_lens.astype(jnp.int32).reshape(B, 1, 1)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _core_fwd_kernel, head_dim=hd, causal=causal, sm_scale=sm_scale
+        ),
+        grid=(B, num_heads),
+        in_specs=[
+            pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T, 3 * hd), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, 1), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, num_heads * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, num_heads, T, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens, qkv)
+    return out, lse
+
+
+def _core_backward(qkv, key_lens, lse, out, g, num_heads, causal, sm_scale,
+                   interpret):
+    B, T, W = qkv.shape
+    hd = W // (3 * num_heads)
+    lens = key_lens.astype(jnp.int32).reshape(B, 1, 1)
+    dqkv = pl.pallas_call(
+        functools.partial(
+            _core_bwd_kernel, head_dim=hd, causal=causal, sm_scale=sm_scale
+        ),
+        grid=(B, num_heads),
+        in_specs=[
+            pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T, 3 * hd), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, 1), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, hd), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, hd), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, 3 * hd), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, W), qkv.dtype),
+        interpret=interpret,
+    )(lens, qkv, lse, out, g)
+    return dqkv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def attention_core(
+    qkv: jax.Array,
+    key_lens: jax.Array,
+    num_heads: int,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused resident attention over the interleaved QKV activation.
+
+    qkv: [B, T, num_heads * 3 * head_dim], per-head column groups laid out
+    as ``[q_h | k_h | v_h]`` (transformer.py::_qkv_interleaved produces
+    this directly from the projection by permuting the fused weight's
+    columns). key_lens: [B] valid (prefix) key counts. Returns the
+    attention context [B, T, num_heads * head_dim] in the same natural
+    layout the output projection consumes.
+
+    Queries/keys beyond ``key_lens[b]`` are masked; fully-masked query
+    rows return zeros (flash_attention's same contract).
+    """
+    if sm_scale is None:
+        hd = qkv.shape[-1] // (3 * num_heads)
+        sm_scale = 1.0 / (hd**0.5)
+    out, _ = _core_forward(qkv, key_lens, num_heads, causal, sm_scale,
+                           interpret)
+    return out
+
+
+def _core_vjp_fwd(qkv, key_lens, num_heads, causal, sm_scale, interpret):
+    if sm_scale is None:
+        hd = qkv.shape[-1] // (3 * num_heads)
+        sm_scale = 1.0 / (hd**0.5)
+    out, lse = _core_forward(qkv, key_lens, num_heads, causal, sm_scale,
+                             interpret)
+    return out, (qkv, key_lens, lse, out)
+
+
+def _core_vjp_bwd(num_heads, causal, sm_scale, interpret, residuals, g):
+    qkv, key_lens, lse, out = residuals
+    if sm_scale is None:
+        hd = qkv.shape[-1] // (3 * num_heads)
+        sm_scale = 1.0 / (hd**0.5)
+    dqkv = _core_backward(qkv, key_lens, lse, out, g, num_heads, causal,
+                          sm_scale, interpret)
+    return dqkv, None
+
+
+attention_core.defvjp(_core_vjp_fwd, _core_vjp_bwd)
+
+
+def reference_core(
+    qkv: jax.Array,
+    key_lens: jax.Array,
+    num_heads: int,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain-XLA ground truth over the same interleaved layout."""
+    B, T, W = qkv.shape
+    hd = W // (3 * num_heads)
+    if sm_scale is None:
+        sm_scale = 1.0 / (hd**0.5)
+    x = qkv.reshape(B, T, num_heads, 3, hd)
+    q, k, v = x[:, :, :, 0], x[:, :, :, 1], x[:, :, :, 2]  # [B, T, H, hd]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * sm_scale
+    mask = jnp.arange(T)[None, :] < key_lens[:, None]
+    bias = jnp.where(mask[:, None, None, :], 0.0, _NEG_INF)
+    if causal:
+        tri = jnp.tril(jnp.ones((T, T), bool))
+        bias = bias + jnp.where(tri[None, None], 0.0, _NEG_INF)
+    probs = jax.nn.softmax(logits + bias.astype(logits.dtype), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return out.reshape(B, T, num_heads * hd)

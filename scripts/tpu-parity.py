@@ -306,6 +306,51 @@ def main() -> None:
         print(f"OK beam search on hardware (K=1≡greedy {agree_b:.1%}, "
               "K=4 well-formed, scores dominate, replay-NLL matches)")
 
+        # 7. Fused short-T attention core (ops/attention_core.py): the
+        # interleaved-QKV resident kernel vs its XLA ground truth at the
+        # scaled/wide configs' real shape (T=513 — non-tile-aligned).
+        from musicstyletransfer_tpu.ops.attention_core import (
+            attention_core,
+            reference_core,
+        )
+
+        Bc, Hc, Tc, hdc = 4, 8, 513, 64
+        rc = np.random.default_rng(3)
+        qkv = jnp.asarray(
+            rc.normal(size=(Bc, Tc, Hc * 3 * hdc)).astype(np.float32),
+            jnp.bfloat16,
+        )
+        lens_c = jnp.asarray([Tc, Tc // 2, Tc // 3, 9], jnp.int32)
+        for causal in (False, True):
+            out_c = attention_core(qkv, lens_c, Hc, causal)
+            out_cr = reference_core(qkv, lens_c, Hc, causal)
+            for b in range(Bc):
+                L = Tc if causal else int(lens_c[b])
+                np.testing.assert_allclose(
+                    np.asarray(out_c[b, :L], np.float32),
+                    np.asarray(out_cr[b, :L], np.float32),
+                    atol=5e-2,
+                )
+        qmask_c = (
+            jnp.arange(Tc)[None, :, None] < lens_c[:, None, None]
+        ).astype(jnp.bfloat16)
+
+        def loss_core(qkv):
+            out = attention_core(qkv, lens_c, Hc, True)
+            return jnp.sum((out * qmask_c).astype(jnp.float32))
+
+        def loss_core_ref(qkv):
+            out = reference_core(qkv, lens_c, Hc, True)
+            return jnp.sum((out * qmask_c).astype(jnp.float32))
+
+        gc_ = jax.jit(jax.grad(loss_core))(qkv)
+        gr_ = jax.jit(jax.grad(loss_core_ref))(qkv)
+        np.testing.assert_allclose(
+            np.asarray(gc_, np.float32), np.asarray(gr_, np.float32),
+            rtol=0.1, atol=0.1,
+        )
+        print("OK fused attention core fwd+bwd parity (T=513, bf16)")
+
     print("ALL TPU PARITY CHECKS PASSED")
 
 
