@@ -198,9 +198,14 @@ class MultiHeadSelfAttention(nn.Module):
     def _core_eligible(self, x: jax.Array) -> bool:
         """The fused short-T core engages in the window
         [core_min_seq_len, min(flash_min_seq_len, MAX_CORE_SEQ_LEN)) when
-        Pallas attention is enabled and neither ring attention nor a >1
-        model axis (which column-shards the QKV kernels) applies."""
+        Pallas attention is enabled and no mesh is live. The mesh gate is
+        load-bearing: GSPMD cannot partition a pallas_call over the batch
+        axis, so under a dp mesh it would silently REPLICATE the call
+        (measured: output sharding collapses to PartitionSpec()), paying
+        an all-gather of activations per layer — sharded training keeps
+        the XLA attention path, which GSPMD partitions properly."""
         from ..ops.attention_core import MAX_CORE_SEQ_LEN
+        from ..parallel.mesh import current_mesh
 
         T = x.shape[1]
         lo = self.core_min_seq_len
@@ -209,8 +214,7 @@ class MultiHeadSelfAttention(nn.Module):
             and 0 < lo <= T
             and T < self.flash_min_seq_len
             and T <= MAX_CORE_SEQ_LEN
-            and self._fused_qkv_ok()
-            and not self._ring_eligible(x)
+            and current_mesh() is None
         )
 
     def _ring_eligible(self, x: jax.Array) -> bool:
