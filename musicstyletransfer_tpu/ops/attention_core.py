@@ -16,15 +16,22 @@ This kernel removes BOTH costs at once:
   column-permuted per head — transformer.py::_qkv_interleaved — which is
   free: a weight-side permutation instead of an activation-side
   transpose). No [B, H, T, D] arrays ever exist, forward or backward.
-- Scores live only in VMEM: one grid step per (batch row, head) computes
-  the full [T, T] softmax attention for that head — no online-softmax
-  rescaling passes needed because T is small enough for the whole score
-  tile to be resident (f32 [T, T] <= 4 MB at T = 1024, the hand-off
-  point to the flash kernel).
+- Scores live only in VMEM: one grid step per (batch row, head group)
+  computes the full [T, T] softmax attention for those heads — no
+  online-softmax rescaling passes needed because T is small enough for
+  the whole score tile to be resident (f32 [T, T] <= 4 MB at T = 1024,
+  the hand-off point to the flash kernel).
 - The custom-VJP residuals are the qkv activation itself (which the
   projection matmul materializes ANYWAY) plus the [B, H, T] logsumexp
   and the [B, T, D] context — there are no extra transposed copies for
   the boundary to save, so the boundary costs ~nothing.
+
+Head grouping: Mosaic requires a block's last dim to be a multiple of
+128 (or the full array width), so heads process in groups of the
+smallest G with (G * 3 * head_dim) % 128 == 0 (G=2 at hd=64, G=4 at
+hd=32; tiny test models fall back to G=H, whose block IS the full
+width). The group loop is unrolled inside one grid step; grid =
+(B, H / G).
 
 The backward recomputes P from the saved lse (flash discipline: trade
 FLOPs for HBM) and emits the gradient already assembled in the same
@@ -35,14 +42,15 @@ Reference hot path being replaced: the reference computes eager per-op
 attention (transformer.py:79-104) — this kernel is where those FLOPs land
 at the T < flash_min_seq_len regime of the scaled/wide configs.
 
-Numerical contract: matches ``reference_attention`` (plain XLA) to ~1e-5
-in f32; tests run interpreter mode on CPU (tests/test_attention_core.py)
-and scripts/tpu-parity.py re-checks compiled-on-TPU.
+Numerical contract: matches ``reference_core`` (plain XLA) to ~1e-5 in
+f32; tests run interpreter mode on CPU (tests/test_attention_core.py)
+and scripts/tpu-parity.py re-checks compiled-on-TPU at T=513 bf16.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -58,136 +66,161 @@ _NEG_INF = -1e30
 MAX_CORE_SEQ_LEN = 1024
 
 
+def _head_group(num_heads: int, head_dim: int) -> int:
+    """Smallest divisor G of num_heads with (G*3*head_dim) % 128 == 0 —
+    the Mosaic lane-tiling constraint on the qkv block's last dim. Falls
+    back to G = num_heads (the block then spans the full array width,
+    which Mosaic always accepts)."""
+    for g in range(1, num_heads + 1):
+        if num_heads % g == 0 and (g * 3 * head_dim) % 128 == 0:
+            return g
+    return num_heads
+
+
 def _core_fwd_kernel(
     lens_ref,  # SMEM [1, 1] valid key count for this batch row
-    qkv_ref,  # VMEM [1, T, 3*hd] this head's [q | k | v] columns
-    o_ref,  # VMEM [1, T, hd]
-    lse_ref,  # VMEM [1, 1, T, 1] per-row logsumexp residual
+    qkv_ref,  # VMEM [1, T, G*3*hd] this group's per-head [q | k | v]
+    o_ref,  # VMEM [1, T, G*hd]
+    lse_ref,  # VMEM [1, G, T, 1] per-row logsumexp residual
     *,
     head_dim: int,
+    group: int,
     causal: bool,
     sm_scale: float,
 ):
     hd = head_dim
     valid_len = lens_ref[0, 0]
-    qkv = qkv_ref[0]  # [T, 3*hd]
-    q = qkv[:, 0:hd] * jnp.asarray(sm_scale, qkv.dtype)
-    k = qkv[:, hd : 2 * hd]
-    v = qkv[:, 2 * hd : 3 * hd]
-    T = q.shape[0]
+    qkv = qkv_ref[0]  # [T, G*3*hd]
+    T = qkv.shape[0]
 
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [T, T] f32 out of the MXU
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
     mask = k_pos < valid_len
     if causal:
         q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
         mask = mask & (k_pos <= q_pos)
-    s = jnp.where(mask, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    # Zero masked entries explicitly: a fully-masked row has m = -1e30 and
-    # exp(s - m) = 1 there, not 0 (flash kernel's same guard).
-    p = jnp.where(mask, jnp.exp(s - m), 0.0)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # Fully-masked query rows (l == 0) emit zeros, like the flash kernel.
-    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+    for i in range(group):  # unrolled static head loop within the group
+        base = i * 3 * hd
+        q = qkv[:, base : base + hd] * jnp.asarray(sm_scale, qkv.dtype)
+        k = qkv[:, base + hd : base + 2 * hd]
+        v = qkv[:, base + 2 * hd : base + 3 * hd]
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, T] f32 out of the MXU
+        s = jnp.where(mask, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        # Zero masked entries explicitly: a fully-masked row has m = -1e30
+        # and exp(s - m) = 1 there, not 0 (flash kernel's same guard).
+        p = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Fully-masked query rows (l == 0) emit zeros, like flash.
+        o_ref[0, :, i * hd : (i + 1) * hd] = (
+            o / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+        lse_ref[0, i] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _core_bwd_kernel(
     lens_ref,  # SMEM [1, 1]
-    qkv_ref,  # VMEM [1, T, 3*hd]
-    lse_ref,  # VMEM [1, 1, T, 1]
-    o_ref,  # VMEM [1, T, hd] saved context (for delta = rowsum(dO * O))
-    do_ref,  # VMEM [1, T, hd]
-    dqkv_ref,  # VMEM [1, T, 3*hd] — [dq | dk | dv], same layout as qkv
+    qkv_ref,  # VMEM [1, T, G*3*hd]
+    lse_ref,  # VMEM [1, G, T, 1]
+    o_ref,  # VMEM [1, T, G*hd] saved context (for delta = rowsum(dO * O))
+    do_ref,  # VMEM [1, T, G*hd]
+    dqkv_ref,  # VMEM [1, T, G*3*hd] — [dq | dk | dv], same layout as qkv
     *,
     head_dim: int,
+    group: int,
     causal: bool,
     sm_scale: float,
 ):
     hd = head_dim
     valid_len = lens_ref[0, 0]
     qkv = qkv_ref[0]
-    # q pre-scaled: S matches the forward, and dS^T @ q_scaled folds the
-    # sm_scale dK needs (dq applies its own at the end) — _dqkv_kernel's
-    # same discipline, f32 operands throughout.
-    q = qkv[:, 0:hd].astype(jnp.float32) * sm_scale
-    k = qkv[:, hd : 2 * hd].astype(jnp.float32)
-    v = qkv[:, 2 * hd : 3 * hd].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # [T, 1] f32
-    T = q.shape[0]
+    T = qkv.shape[0]
+    dt = dqkv_ref.dtype
 
-    s = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     k_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    # Fully-masked rows carry the -1e30 lse sentinel; exp(s - sentinel)
-    # would overflow, and they contribute nothing to any gradient.
-    mask = (k_pos < valid_len) & (lse > -1e29)
+    base_mask = k_pos < valid_len
     if causal:
         q_pos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
-        mask = mask & (k_pos <= q_pos)
-    p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [T, T] f32
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [T, 1]
-    dp = jax.lax.dot_general(
-        do, v,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ds = p * (dp - delta)
-    dq = jax.lax.dot_general(
-        ds, k,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * sm_scale
-    dk = jax.lax.dot_general(
-        ds, q,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dv = jax.lax.dot_general(
-        p, do,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dt = dqkv_ref.dtype
-    dqkv_ref[0, :, 0:hd] = dq.astype(dt)
-    dqkv_ref[0, :, hd : 2 * hd] = dk.astype(dt)
-    dqkv_ref[0, :, 2 * hd : 3 * hd] = dv.astype(dt)
+        base_mask = base_mask & (k_pos <= q_pos)
+
+    for i in range(group):
+        base = i * 3 * hd
+        # q pre-scaled: S matches the forward, and dS^T @ q_scaled folds
+        # the sm_scale dK needs (dq applies its own at the end) —
+        # _dqkv_kernel's same discipline, f32 operands throughout.
+        q = qkv[:, base : base + hd].astype(jnp.float32) * sm_scale
+        k = qkv[:, base + hd : base + 2 * hd].astype(jnp.float32)
+        v = qkv[:, base + 2 * hd : base + 3 * hd].astype(jnp.float32)
+        do = do_ref[0, :, i * hd : (i + 1) * hd].astype(jnp.float32)
+        o = o_ref[0, :, i * hd : (i + 1) * hd].astype(jnp.float32)
+        lse = lse_ref[0, i]  # [T, 1] f32
+
+        s = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # Fully-masked rows carry the -1e30 lse sentinel; exp(s - sentinel)
+        # would overflow, and they contribute nothing to any gradient.
+        mask = base_mask & (lse > -1e29)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)  # [T, T] f32
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [T, 1]
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq = jax.lax.dot_general(
+            ds, k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dk = jax.lax.dot_general(
+            ds, q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv = jax.lax.dot_general(
+            p, do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[0, :, base : base + hd] = dq.astype(dt)
+        dqkv_ref[0, :, base + hd : base + 2 * hd] = dk.astype(dt)
+        dqkv_ref[0, :, base + 2 * hd : base + 3 * hd] = dv.astype(dt)
 
 
 def _core_forward(qkv, key_lens, num_heads, causal, sm_scale, interpret):
     B, T, W = qkv.shape
     hd = W // (3 * num_heads)
+    G = _head_group(num_heads, hd)
     lens = key_lens.astype(jnp.int32).reshape(B, 1, 1)
     out, lse = pl.pallas_call(
         functools.partial(
-            _core_fwd_kernel, head_dim=hd, causal=causal, sm_scale=sm_scale
+            _core_fwd_kernel, head_dim=hd, group=G, causal=causal,
+            sm_scale=sm_scale,
         ),
-        grid=(B, num_heads),
+        grid=(B, num_heads // G),
         in_specs=[
             pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, 3 * hd), lambda b, h: (b, 0, h),
+            pl.BlockSpec((1, T, G * 3 * hd), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, T, hd), lambda b, h: (b, 0, h),
+            pl.BlockSpec((1, T, G * hd), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, 1), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, G, T, 1), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -203,25 +236,27 @@ def _core_backward(qkv, key_lens, lse, out, g, num_heads, causal, sm_scale,
                    interpret):
     B, T, W = qkv.shape
     hd = W // (3 * num_heads)
+    G = _head_group(num_heads, hd)
     lens = key_lens.astype(jnp.int32).reshape(B, 1, 1)
     dqkv = pl.pallas_call(
         functools.partial(
-            _core_bwd_kernel, head_dim=hd, causal=causal, sm_scale=sm_scale
+            _core_bwd_kernel, head_dim=hd, group=G, causal=causal,
+            sm_scale=sm_scale,
         ),
-        grid=(B, num_heads),
+        grid=(B, num_heads // G),
         in_specs=[
             pl.BlockSpec((None, 1, 1), lambda b, h: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, 3 * hd), lambda b, h: (b, 0, h),
+            pl.BlockSpec((1, T, G * 3 * hd), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, 1), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((1, G, T, 1), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, hd), lambda b, h: (b, 0, h),
+            pl.BlockSpec((1, T, G * hd), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, hd), lambda b, h: (b, 0, h),
+            pl.BlockSpec((1, T, G * hd), lambda b, h: (b, 0, h),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, T, 3 * hd), lambda b, h: (b, 0, h),
+        out_specs=pl.BlockSpec((1, T, G * 3 * hd), lambda b, h: (b, 0, h),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, W), qkv.dtype),
         interpret=interpret,
@@ -252,7 +287,7 @@ def attention_core(
     """
     if sm_scale is None:
         hd = qkv.shape[-1] // (3 * num_heads)
-        sm_scale = 1.0 / (hd**0.5)
+        sm_scale = 1.0 / math.sqrt(hd)
     out, _ = _core_forward(qkv, key_lens, num_heads, causal, sm_scale,
                            interpret)
     return out
@@ -261,7 +296,7 @@ def attention_core(
 def _core_vjp_fwd(qkv, key_lens, num_heads, causal, sm_scale, interpret):
     if sm_scale is None:
         hd = qkv.shape[-1] // (3 * num_heads)
-        sm_scale = 1.0 / (hd**0.5)
+        sm_scale = 1.0 / math.sqrt(hd)
     out, lse = _core_forward(qkv, key_lens, num_heads, causal, sm_scale,
                              interpret)
     return out, (qkv, key_lens, lse, out)
@@ -271,7 +306,7 @@ def _core_vjp_bwd(num_heads, causal, sm_scale, interpret, residuals, g):
     qkv, key_lens, lse, out = residuals
     if sm_scale is None:
         hd = qkv.shape[-1] // (3 * num_heads)
-        sm_scale = 1.0 / (hd**0.5)
+        sm_scale = 1.0 / math.sqrt(hd)
     dqkv = _core_backward(qkv, key_lens, lse, out, g, num_heads, causal,
                           sm_scale, interpret)
     return dqkv, None
@@ -291,7 +326,7 @@ def reference_core(
     B, T, W = qkv.shape
     hd = W // (3 * num_heads)
     if sm_scale is None:
-        sm_scale = 1.0 / (hd**0.5)
+        sm_scale = 1.0 / math.sqrt(hd)
     x = qkv.reshape(B, T, num_heads, 3, hd)
     q, k, v = x[:, :, :, 0], x[:, :, :, 1], x[:, :, :, 2]  # [B, T, H, hd]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * sm_scale

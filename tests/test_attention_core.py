@@ -43,7 +43,10 @@ class TestAttentionCore:
                 atol=1e-5,
             )
 
-    @pytest.mark.parametrize("H,hd", [(4, 8), (2, 32)])
+    # (4, 64) -> head group G=2 and (8, 32) -> G=4 exercise the grouped
+    # (G < H) grid path; the small shapes fall back to G=H (full-width
+    # block). _head_group itself is pinned below.
+    @pytest.mark.parametrize("H,hd", [(4, 8), (2, 32), (4, 64), (8, 32)])
     def test_head_layout(self, H, hd):
         qkv = _qkv_inputs(H=H, hd=hd, T=33)
         lens = jnp.asarray([33, 17], jnp.int32)
@@ -80,6 +83,16 @@ class TestAttentionCore:
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-5
         )
+
+    def test_head_group_rule(self):
+        from musicstyletransfer_tpu.ops.attention_core import _head_group
+
+        # (G * 3 * hd) % 128 == 0 with G | H — the Mosaic lane constraint.
+        assert _head_group(16, 64) == 2
+        assert _head_group(16, 32) == 4
+        assert _head_group(8, 128) == 1  # 3*128 is already lane-aligned
+        assert _head_group(4, 8) == 4  # no divisor works -> full width
+        assert _head_group(2, 32) == 2
 
     def test_custom_scale(self):
         qkv = _qkv_inputs(T=20)
