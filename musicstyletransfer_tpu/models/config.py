@@ -98,10 +98,14 @@ class TransformerConfig(Config):
     # the [T, T] scores VMEM-resident — no HBM score tensor, no layout
     # transposes, near-free custom-VJP boundary. Engages for
     # attention_core_min_seq_len <= T < flash_min_seq_len when
-    # use_flash_attention is on (single model-axis meshes). 0 disables
-    # (the XLA materializing path runs instead). Default measured on v5e:
-    # see BASELINE.md "fused attention core" (round 4).
-    attention_core_min_seq_len: int = 0
+    # use_flash_attention is on and no mesh is live (GSPMD cannot
+    # partition the kernel over batch). 0 disables (the XLA materializing
+    # path runs instead). Default measured on v5e (scripts/core-ab.py,
+    # 3 interleaved pairs, round 4): full train step 1.22x at the scaled
+    # config (13.34 -> 10.94 ms) and 1.14x at the wide config (17.96 ->
+    # 15.81 ms) — the regime where the streaming flash kernel LOST 1.4x
+    # in-model (BASELINE.md "Attention at T<=512").
+    attention_core_min_seq_len: int = 256
     # Sequence parallelism: constrain activations to shard the time axis
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.
