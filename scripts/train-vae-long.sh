@@ -37,12 +37,16 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-dropout 0.1 \
 --use-flash-attention \
 --kl-anneal-steps 2000 \
---free-bits 0.1 \
+--free-bits 0.02 \
 --ring-attention \
 --tp "${TP:-1}" \
 "$@"
-# --kl-anneal-steps 2000 --free-bits 0.1: same documented divergence
-# as train-vae.sh — the plain objective measurably collapses the
-# latent at this scale (KL 0.001 on the round-3 scaled run;
-# BASELINE.md scaled-run footnote). Pass --kl-anneal-steps 0
-# --free-bits 0 for the bare reference objective.
+# --kl-anneal-steps 2000 --free-bits 0.02: same documented divergence
+# family as train-vae.sh (the plain objective collapses the latent),
+# but with a SMALLER floor than the corpus-scale scripts' 0.1 — at
+# L=2046 the 51-nat floor (0.1 x 512 dims) hands the latent enough
+# capacity to override the class conditioning: transfers keep the
+# SOURCE register. 0.02 flips register to the target AND improves
+# teacher-forced quality (both operating points measured, BASELINE.md
+# round-4 long-sequence rerun). Pass --kl-anneal-steps 0 --free-bits 0
+# for the bare reference objective.
