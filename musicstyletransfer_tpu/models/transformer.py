@@ -198,23 +198,31 @@ class MultiHeadSelfAttention(nn.Module):
     def _core_eligible(self, x: jax.Array) -> bool:
         """The fused short-T core engages in the window
         [core_min_seq_len, min(flash_min_seq_len, MAX_CORE_SEQ_LEN)) when
-        Pallas attention is enabled and no mesh is live. The mesh gate is
-        load-bearing: GSPMD cannot partition a pallas_call over the batch
-        axis, so under a dp mesh it would silently REPLICATE the call
-        (measured: output sharding collapses to PartitionSpec()), paying
-        an all-gather of activations per layer — sharded training keeps
-        the XLA attention path, which GSPMD partitions properly."""
+        Pallas attention is enabled, on mesh-free execution or a pure-dp
+        mesh whose data axis divides the batch (then via shard_map — the
+        mesh gate is load-bearing: GSPMD cannot partition a raw
+        pallas_call over batch and silently REPLICATES it instead,
+        measured as the output sharding collapsing to PartitionSpec()).
+        tp>1 and sequence-sharded meshes keep the XLA attention path,
+        which GSPMD partitions properly."""
         from ..ops.attention_core import MAX_CORE_SEQ_LEN
-        from ..parallel.mesh import current_mesh
+        from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, current_mesh
 
         T = x.shape[1]
         lo = self.core_min_seq_len
-        return (
+        if not (
             self.use_flash
             and 0 < lo <= T
             and T < self.flash_min_seq_len
             and T <= MAX_CORE_SEQ_LEN
-            and current_mesh() is None
+        ):
+            return False
+        mesh = current_mesh()
+        if mesh is None:
+            return True
+        return (
+            mesh.shape.get(AXIS_MODEL, 1) <= 1
+            and x.shape[0] % mesh.shape.get(AXIS_DATA, 1) == 0
         )
 
     def _ring_eligible(self, x: jax.Array) -> bool:
@@ -238,15 +246,25 @@ class MultiHeadSelfAttention(nn.Module):
     def __call__(self, x: jax.Array, key_mask: jax.Array) -> jax.Array:
         """x: [B, T, D]; key_mask: [B, T] True at valid (non-PAD) keys."""
         if self._core_eligible(x):
-            from ..ops.attention_core import attention_core
+            from ..ops.attention_core import (
+                attention_core,
+                attention_core_sharded,
+            )
             from ..ops.flash_attention import should_interpret
+            from ..parallel.mesh import current_mesh
 
             qkv = self._qkv_interleaved(x)
             key_lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
-            ctx = attention_core(
-                qkv, key_lens, self.num_heads, self.causal, None,
-                should_interpret(),
-            )
+            if current_mesh() is None:
+                ctx = attention_core(
+                    qkv, key_lens, self.num_heads, self.causal, None,
+                    should_interpret(),
+                )
+            else:  # pure-dp mesh: per-shard kernel via shard_map
+                ctx = attention_core_sharded(
+                    qkv, key_lens, self.num_heads, self.causal,
+                    interpret=should_interpret(),
+                )
             return self.w_o(ctx)
         q, k, v = self._qkv(x)
         q, k, v = self._heads(q), self._heads(k), self._heads(v)

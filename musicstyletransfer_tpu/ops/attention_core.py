@@ -315,6 +315,49 @@ def _core_vjp_bwd(num_heads, causal, sm_scale, interpret, residuals, g):
 attention_core.defvjp(_core_vjp_fwd, _core_vjp_bwd)
 
 
+def attention_core_sharded(
+    qkv: jax.Array,
+    key_lens: jax.Array,
+    num_heads: int,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    mesh=None,
+    batch_axis: Optional[str] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Data-parallel composition: the core kernel per batch shard under
+    ``shard_map`` (GSPMD cannot partition a pallas_call itself — without
+    this wrapper a dp mesh silently REPLICATES the call, measured).
+    Decode rows are independent across batch, so each device runs the
+    whole kernel on its slice; gradients are per-shard local and the
+    custom VJP composes with shard_map unchanged. Requires
+    B % mesh.shape[batch_axis] == 0 (checked by the caller's
+    eligibility gate, transformer.py::_core_eligible)."""
+    from ..parallel.mesh import AXIS_DATA, current_mesh, unchecked_shard_map
+
+    if mesh is None:
+        mesh = current_mesh()
+    assert mesh is not None, "attention_core_sharded needs a mesh"
+    if batch_axis is None:
+        batch_axis = AXIS_DATA
+    from jax.sharding import PartitionSpec as P
+
+    body = functools.partial(
+        attention_core,
+        num_heads=num_heads,
+        causal=causal,
+        sm_scale=sm_scale,
+        interpret=interpret,
+    )
+    spec = P(batch_axis, None, None)
+    return unchecked_shard_map()(
+        lambda qkv, lens: body(qkv, lens),
+        mesh=mesh,
+        in_specs=(spec, P(batch_axis)),
+        out_specs=spec,
+    )(qkv, key_lens)
+
+
 def reference_core(
     qkv: jax.Array,
     key_lens: jax.Array,

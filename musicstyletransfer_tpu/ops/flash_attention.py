@@ -200,6 +200,16 @@ _STREAM_BLOCK = 1024
 
 
 def _block_for(T: int) -> int:
+    """512 was the measured winner at T=512/2048 (header comment), but at
+    T = 4096 the combined resident backward's scoped VMEM — full-T K/V,
+    dK/dV outputs, the f32 dK/dV accumulators AND the 512-wide f32
+    s/p/dp/ds tiles, all live at once — reaches 17.69 MB and Mosaic
+    refuses the 16 MB budget (caught by the round-4 bench, which
+    compiled the pre-existing T=4096 case against the new block size for
+    the first time). 256 keeps T=4096 compiling; the 512 win stands
+    where it was measured."""
+    if _round_up(T, 8) > 2048:
+        return 256
     return min(_MAX_BLOCK, _round_up(T, 8))
 
 

@@ -104,6 +104,68 @@ class TestAttentionCore:
         )
 
 
+class TestShardedCore:
+    def test_dp_mesh_matches_single_device(self, cpu_devices):
+        """attention_core_sharded on a pure-dp mesh == the plain kernel
+        (each shard runs the whole kernel on its batch slice)."""
+        from musicstyletransfer_tpu.ops.attention_core import (
+            attention_core,
+            attention_core_sharded,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh, use_mesh
+
+        B, T, H, hd = 8, 24, 2, 16
+        rng = np.random.default_rng(3)
+        qkv = jnp.asarray(rng.normal(size=(B, T, H * 3 * hd)), jnp.float32)
+        lens = jnp.asarray([T, 13, 7, T, 1, 9, T, 20], jnp.int32)
+        single = attention_core(qkv, lens, H, True, None, True)
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        with use_mesh(mesh):
+            sharded = jax.jit(
+                lambda q, l: attention_core_sharded(
+                    q, l, H, True, interpret=True
+                )
+            )(qkv, lens)
+        np.testing.assert_allclose(
+            np.asarray(single), np.asarray(sharded), rtol=1e-6, atol=1e-6
+        )
+
+    def test_model_dp_mesh_matches_xla(self, cpu_devices):
+        """The full stack on a dp mesh takes the sharded-core path and
+        matches the XLA attention path."""
+        from musicstyletransfer_tpu.models.config import TransformerConfig
+        from musicstyletransfer_tpu.models.transformer import (
+            TransformerStack,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh, use_mesh
+
+        def stack(core_min):
+            cfg = TransformerConfig(
+                model_size=32, num_layers=1, num_heads=4, dropout=0.0,
+                use_flash_attention=True, flash_min_seq_len=10_000,
+                attention_core_min_seq_len=core_min,
+            )
+            return TransformerStack(config=cfg, causal=True)
+
+        B, T, D = 8, 16, 32
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        mask = jnp.arange(T)[None, :] < jnp.asarray([[T]] * 4 + [[9]] * 4)
+        m_xla, m_core = stack(0), stack(1)
+        params = m_xla.init(jax.random.PRNGKey(0), x, mask, False)
+        ref = m_xla.apply(params, x, mask, False)
+        mesh = make_mesh(cpu_devices[:8], tp=1)
+        with use_mesh(mesh):
+            out = jax.jit(lambda p, x: m_core.apply(p, x, mask, False))(
+                params, x
+            )
+        np.testing.assert_allclose(
+            np.asarray(ref) * np.asarray(mask)[:, :, None],
+            np.asarray(out) * np.asarray(mask)[:, :, None],
+            rtol=0, atol=1e-5,
+        )
+
+
 class TestModelPathEquivalence:
     """The encoder/decoder stacks with the core enabled must match the XLA
     attention path — fwd and grads — including the weight-side column
