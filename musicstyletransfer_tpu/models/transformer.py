@@ -198,13 +198,15 @@ class MultiHeadSelfAttention(nn.Module):
     def _core_eligible(self, x: jax.Array) -> bool:
         """The fused short-T core engages in the window
         [core_min_seq_len, min(flash_min_seq_len, MAX_CORE_SEQ_LEN)) when
-        Pallas attention is enabled, on mesh-free execution or a pure-dp
-        mesh whose data axis divides the batch (then via shard_map — the
-        mesh gate is load-bearing: GSPMD cannot partition a raw
-        pallas_call over batch and silently REPLICATES it instead,
-        measured as the output sharding collapsing to PartitionSpec()).
-        tp>1 and sequence-sharded meshes keep the XLA attention path,
-        which GSPMD partitions properly."""
+        Pallas attention is enabled, on mesh-free execution or a mesh whose
+        data axis divides the batch (then via shard_map — the mesh gate is
+        load-bearing: GSPMD cannot partition a raw pallas_call over batch
+        and silently REPLICATES it instead, measured as the output sharding
+        collapsing to PartitionSpec()). tp>1 additionally needs the model
+        axis to divide the heads (attention_core_tp slices complete heads
+        per shard). Ring (sequence-sharded) configs keep their time-sharded
+        path — the core holds the full [T, T] scores per shard, the
+        opposite memory contract."""
         from ..ops.attention_core import MAX_CORE_SEQ_LEN
         from ..parallel.mesh import AXIS_DATA, AXIS_MODEL, current_mesh
 
@@ -212,6 +214,7 @@ class MultiHeadSelfAttention(nn.Module):
         lo = self.core_min_seq_len
         if not (
             self.use_flash
+            and not self.use_ring
             and 0 < lo <= T
             and T < self.flash_min_seq_len
             and T <= MAX_CORE_SEQ_LEN
@@ -220,9 +223,10 @@ class MultiHeadSelfAttention(nn.Module):
         mesh = current_mesh()
         if mesh is None:
             return True
+        tp = mesh.shape.get(AXIS_MODEL, 1)
         return (
-            mesh.shape.get(AXIS_MODEL, 1) <= 1
-            and x.shape[0] % mesh.shape.get(AXIS_DATA, 1) == 0
+            x.shape[0] % mesh.shape.get(AXIS_DATA, 1) == 0
+            and (tp <= 1 or self.num_heads % tp == 0)
         )
 
     def _ring_eligible(self, x: jax.Array) -> bool:
@@ -249,18 +253,33 @@ class MultiHeadSelfAttention(nn.Module):
             from ..ops.attention_core import (
                 attention_core,
                 attention_core_sharded,
+                attention_core_tp,
             )
             from ..ops.flash_attention import should_interpret
-            from ..parallel.mesh import current_mesh
+            from ..parallel.mesh import AXIS_MODEL, current_mesh
 
-            qkv = self._qkv_interleaved(x)
             key_lens = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
-            if current_mesh() is None:
+            mesh = current_mesh()
+            if mesh is None:
+                qkv = self._qkv_interleaved(x)
                 ctx = attention_core(
                     qkv, key_lens, self.num_heads, self.causal, None,
                     should_interpret(),
                 )
+            elif mesh.shape.get(AXIS_MODEL, 1) > 1:
+                # tp mesh: projection + interleave + kernel per head shard
+                # inside one shard_map (head-aligned weight slices).
+                dt = self.dtype
+                ctx = attention_core_tp(
+                    x.astype(dt),
+                    self.w_q.kernel.astype(dt), self.w_q.bias.astype(dt),
+                    self.w_k.kernel.astype(dt), self.w_k.bias.astype(dt),
+                    self.w_v.kernel.astype(dt), self.w_v.bias.astype(dt),
+                    key_lens, self.num_heads, self.head_dim, self.causal,
+                    interpret=should_interpret(),
+                )
             else:  # pure-dp mesh: per-shard kernel via shard_map
+                qkv = self._qkv_interleaved(x)
                 ctx = attention_core_sharded(
                     qkv, key_lens, self.num_heads, self.causal,
                     interpret=should_interpret(),

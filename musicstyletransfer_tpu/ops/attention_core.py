@@ -358,6 +358,91 @@ def attention_core_sharded(
     )(qkv, key_lens)
 
 
+def attention_core_tp(
+    x: jax.Array,
+    wq: jax.Array,
+    bq: jax.Array,
+    wk: jax.Array,
+    bk: jax.Array,
+    wv: jax.Array,
+    bv: jax.Array,
+    key_lens: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    causal: bool = False,
+    sm_scale: Optional[float] = None,
+    mesh=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tensor-parallel composition: QKV projection + weight-side head
+    interleave + the core kernel, all inside ONE ``shard_map`` over the
+    (data, model) mesh.
+
+    Under tensor parallelism the Q/K/V kernels are column-sharded
+    ``P(None, "model")`` (parallel/mesh.py TP rules). Because the kernel's
+    column layout is head-major ([D, H, hd] flattened), an H-aligned
+    model-axis slice hands every device COMPLETE heads — so each shard can
+    interleave its local weight columns, run its own projection matmul,
+    and feed the kernel ``H / tp`` local heads, with zero communication
+    beyond the psum GSPMD already inserts for dX of the replicated
+    activation (the Megatron block's one collective). Requires
+    ``num_heads % tp == 0`` and ``B % dp == 0``
+    (transformer.py::_core_eligible gates both).
+
+    x: [B, T, D] activation; wq/wk/wv: [D, num_heads * head_dim] projection
+    kernels; bq/bk/bv: [num_heads * head_dim] biases; key_lens: [B].
+    Returns the attention context [B, T, num_heads * head_dim], sharded
+    (batch over "data", heads over "model") — exactly the row-sharded
+    layout the Megatron w_o consumes.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import (
+        AXIS_DATA,
+        AXIS_MODEL,
+        current_mesh,
+        unchecked_shard_map,
+    )
+
+    if mesh is None:
+        mesh = current_mesh()
+    assert mesh is not None, "attention_core_tp needs a mesh"
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(head_dim)
+    D = x.shape[-1]
+    hd = head_dim
+
+    def body(x, wq, bq, wk, bk, wv, bv, lens):
+        Hl = wq.shape[1] // hd  # complete local heads on this model shard
+        w = jnp.stack(
+            [
+                wq.reshape(D, Hl, hd),
+                wk.reshape(D, Hl, hd),
+                wv.reshape(D, Hl, hd),
+            ],
+            axis=2,
+        ).reshape(D, Hl * 3 * hd)
+        b = jnp.stack(
+            [bq.reshape(Hl, hd), bk.reshape(Hl, hd), bv.reshape(Hl, hd)],
+            axis=1,
+        ).reshape(Hl * 3 * hd)
+        qkv = x @ w + b
+        return attention_core(qkv, lens, Hl, causal, sm_scale, interpret)
+
+    col = P(None, AXIS_MODEL)
+    row = P(AXIS_MODEL)
+    return unchecked_shard_map()(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(AXIS_DATA, None, None),
+            col, row, col, row, col, row,
+            P(AXIS_DATA),
+        ),
+        out_specs=P(AXIS_DATA, None, AXIS_MODEL),
+    )(x, wq, bq, wk, bk, wv, bv, key_lens)
+
+
 def reference_core(
     qkv: jax.Array,
     key_lens: jax.Array,

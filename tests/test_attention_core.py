@@ -166,6 +166,161 @@ class TestShardedCore:
         )
 
 
+class TestTensorParallelCore:
+    """attention_core_tp: projection + interleave + kernel per head shard
+    under one shard_map must match the mesh-free composition — fwd and the
+    weight/activation gradients (the psum for dX of the model-replicated
+    activation is the transpose shard_map inserts)."""
+
+    def _weights(self, D=32, H=4, hd=8, seed=7):
+        # fan-in scaling keeps logits O(1): unscaled N(0,1) weights drive
+        # the softmax into saturation, where f32 summation-order noise
+        # between the sharded and mesh-free matmuls flips near-argmax rows.
+        rng = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray(  # noqa: E731
+            rng.normal(size=s) * (s[0] ** -0.5), jnp.float32
+        )
+        return (mk(D, H * hd), mk(H * hd), mk(D, H * hd), mk(H * hd),
+                mk(D, H * hd), mk(H * hd))
+
+    @staticmethod
+    def _interleave(wq, bq, wk, bk, wv, bv, H, hd):
+        D = wq.shape[0]
+        w = jnp.stack(
+            [wq.reshape(D, H, hd), wk.reshape(D, H, hd),
+             wv.reshape(D, H, hd)],
+            axis=2,
+        ).reshape(D, H * 3 * hd)
+        b = jnp.stack(
+            [bq.reshape(H, hd), bk.reshape(H, hd), bv.reshape(H, hd)],
+            axis=1,
+        ).reshape(H * 3 * hd)
+        return w, b
+
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_matches_mesh_free(self, cpu_devices, tp):
+        from musicstyletransfer_tpu.ops.attention_core import (
+            attention_core,
+            attention_core_tp,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh, use_mesh
+
+        B, T, D, H, hd = 8, 24, 32, 4, 8
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        lens = jnp.asarray([T, 13, 7, T, 1, 9, T, 20], jnp.int32)
+        ws = self._weights(D, H, hd)
+        w, b = self._interleave(*ws, H, hd)
+        ref = attention_core(x @ w + b, lens, H, True, None, True)
+        mesh = make_mesh(cpu_devices[:8], tp=tp)
+        with use_mesh(mesh):
+            out = jax.jit(
+                lambda x, *ws: attention_core_tp(
+                    x, *ws, lens, H, hd, True, interpret=True
+                )
+            )(x, *ws)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=1e-5, atol=1e-5
+        )
+
+    def test_gradients_match_mesh_free(self, cpu_devices):
+        from musicstyletransfer_tpu.ops.attention_core import (
+            attention_core,
+            attention_core_tp,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh, use_mesh
+
+        B, T, D, H, hd = 4, 16, 32, 4, 8
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        lens = jnp.asarray([T, 9, T, 5], jnp.int32)
+        ws = self._weights(D, H, hd)
+        valid = (jnp.arange(T)[None, :] < lens[:, None])[:, :, None]
+
+        def loss_free(x, *ws):
+            w, b = self._interleave(*ws, H, hd)
+            out = attention_core(x @ w + b, lens, H, True, None, True)
+            return jnp.sum(jnp.where(valid, out, 0.0) ** 2)
+
+        def loss_tp(x, *ws):
+            out = attention_core_tp(
+                x, *ws, lens, H, hd, True, interpret=True
+            )
+            return jnp.sum(jnp.where(valid, out, 0.0) ** 2)
+
+        lf, gf = jax.value_and_grad(loss_free, argnums=tuple(range(7)))(
+            x, *ws
+        )
+        mesh = make_mesh(cpu_devices[:8], tp=2)
+        with use_mesh(mesh):
+            lt, gt = jax.jit(
+                jax.value_and_grad(loss_tp, argnums=tuple(range(7)))
+            )(x, *ws)
+        np.testing.assert_allclose(float(lf), float(lt), rtol=1e-5)
+        for a, b in zip(gf, gt):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+    def test_model_tp_mesh_matches_xla(self, cpu_devices):
+        """The full stack on a tp=2 mesh takes the tp-core path and matches
+        the XLA attention path (mesh-free), fwd."""
+        from musicstyletransfer_tpu.models.config import TransformerConfig
+        from musicstyletransfer_tpu.models.transformer import (
+            TransformerStack,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh, use_mesh
+
+        def stack(core_min):
+            cfg = TransformerConfig(
+                model_size=32, num_layers=1, num_heads=4, dropout=0.0,
+                use_flash_attention=True, flash_min_seq_len=10_000,
+                attention_core_min_seq_len=core_min,
+            )
+            return TransformerStack(config=cfg, causal=True)
+
+        B, T, D = 8, 16, 32
+        rng = np.random.default_rng(17)
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+        mask = jnp.arange(T)[None, :] < jnp.asarray([[T]] * 4 + [[9]] * 4)
+        m_xla, m_core = stack(0), stack(1)
+        params = m_xla.init(jax.random.PRNGKey(0), x, mask, False)
+        ref = m_xla.apply(params, x, mask, False)
+        mesh = make_mesh(cpu_devices[:8], tp=2)
+        with use_mesh(mesh):
+            out = jax.jit(lambda p, x: m_core.apply(p, x, mask, False))(
+                params, x
+            )
+        np.testing.assert_allclose(
+            np.asarray(ref) * np.asarray(mask)[:, :, None],
+            np.asarray(out) * np.asarray(mask)[:, :, None],
+            rtol=0, atol=1e-5,
+        )
+
+    def test_head_indivisible_tp_falls_back(self, cpu_devices):
+        """heads % tp != 0 keeps the XLA path (eligibility gate) rather
+        than slicing a head across model shards."""
+        from musicstyletransfer_tpu.models.transformer import (
+            MultiHeadSelfAttention,
+        )
+        from musicstyletransfer_tpu.parallel.mesh import make_mesh, use_mesh
+
+        attn = MultiHeadSelfAttention(
+            model_size=32, num_heads=2, causal=True, use_flash=True,
+            flash_min_seq_len=10_000, core_min_seq_len=1,
+        )
+        x = jnp.zeros((8, 16, 32), jnp.float32)
+        mesh = make_mesh(cpu_devices[:8], tp=4)
+        with use_mesh(mesh):
+            bound = attn.bind(
+                attn.init(jax.random.PRNGKey(0), x, jnp.ones((8, 16), bool))
+            )
+            assert not bound._core_eligible(x)
+        mesh2 = make_mesh(cpu_devices[:8], tp=2)
+        with use_mesh(mesh2):
+            assert bound._core_eligible(x)
+
+
 class TestModelPathEquivalence:
     """The encoder/decoder stacks with the core enabled must match the XLA
     attention path — fwd and grads — including the weight-side column
