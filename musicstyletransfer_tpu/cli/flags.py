@@ -136,6 +136,14 @@ def build_parser() -> argparse.ArgumentParser:
                           "cross-platform bit-reproducible")
     tpu.add_argument("--length-penalty", type=float, default=0.0,
                      help="beam-search length normalization alpha (0 = off)")
+    tpu.add_argument("--class-conditioning",
+                     choices=["initial", "per_step"], default="initial",
+                     help="decoder class conditioning: 'initial' = only the "
+                          "prepended conditioning state (reference "
+                          "behavior); 'per_step' = also add the class "
+                          "embedding to every decoder position's input "
+                          "(measured-necessary for register transfer at "
+                          "long sequence lengths; transformer decoder only)")
 
     dist = parser.add_argument_group(
         "Distributed (multi-process / multi-host; parallel/distributed.py)"

@@ -63,6 +63,7 @@ def create_model_config(args, dataset) -> ModelConfig:
             num_classes=dataset.num_classes(),
             output_dim=dataset.num_tokens(),
             decoder_type=args.decoder_type,
+            class_conditioning=getattr(args, "class_conditioning", "initial"),
             lstm_config=(
                 LSTMConfig(
                     n_layers=args.d_n_layers,

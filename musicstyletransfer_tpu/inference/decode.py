@@ -196,7 +196,8 @@ def decode_sampled(
     def body(st: _SampleLoopState) -> _SampleLoopState:
         last = jax.lax.dynamic_slice_in_dim(st.seqs, st.t - 1, 1, axis=1)[:, 0]
         logits, cache = model.apply(
-            {"params": params}, last, st.cache, st.t, method=StyleVAE.decode_step
+            {"params": params}, last, st.cache, st.t, classes,
+            method=StyleVAE.decode_step,
         )
         rng, key = jax.random.split(st.rng)
         filtered = _filter_logits(logits / temperature, top_k, top_p)
@@ -358,7 +359,8 @@ def decode_beam(
     def body(st: _BeamLoopState) -> _BeamLoopState:
         last = jax.lax.dynamic_slice_in_dim(st.seqs, st.t - 1, 1, axis=1)[:, 0]
         logits, cache = model.apply(
-            {"params": params}, last, st.cache, st.t, method=StyleVAE.decode_step
+            {"params": params}, last, st.cache, st.t, classes_rep,
+            method=StyleVAE.decode_step,
         )
         nll = -jax.nn.log_softmax(logits, axis=-1)  # [B*K, V]
         # Finished hypotheses may only extend with PAD at no cost.

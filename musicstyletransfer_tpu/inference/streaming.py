@@ -98,6 +98,7 @@ class SlotState(NamedTuple):
     budget: jax.Array  # [S] int32 generation budget (max positions)
     done: jax.Array  # [S] bool
     occupied: jax.Array  # [S] bool
+    classes: jax.Array  # [S] int32 target class per slot (per-step cond.)
     rng: jax.Array  # PRNG key threaded through cycles (never leaves device)
 
 
@@ -121,6 +122,7 @@ def _init_state(model: StyleVAE, params, slots: int, t_gen: int,
         budget=jnp.zeros((slots,), jnp.int32),
         done=jnp.zeros((slots,), bool),
         occupied=jnp.zeros((slots,), bool),
+        classes=jnp.zeros((slots,), jnp.int32),
         rng=jax.random.key(seed),
     )
 
@@ -172,6 +174,10 @@ def _admit_into(
         slot_sel.T, budgets.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
+    new_classes = jnp.dot(
+        slot_sel.T, classes.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     return SlotState(
         cache=tuple(new_cache),
         seqs=jnp.where(written[:, None], sos_row[None, :], state.seqs),
@@ -180,6 +186,7 @@ def _admit_into(
         budget=jnp.where(written, new_budget, state.budget),
         done=jnp.where(written, False, state.done),
         occupied=state.occupied | written,
+        classes=jnp.where(written, new_classes, state.classes),
         rng=state.rng,
     )
 
@@ -235,7 +242,7 @@ def _cycle_program(
         active = st.occupied & ~st.done
         last = jnp.take_along_axis(st.seqs, (st.t - 1)[:, None], axis=1)[:, 0]
         logits, cache = model.apply(
-            {"params": params}, last, st.cache, st.t,
+            {"params": params}, last, st.cache, st.t, st.classes,
             method=StyleVAE.decode_step_ragged,
         )
         filtered = _filter_logits(logits / temperature, top_k, top_p)
@@ -253,7 +260,7 @@ def _cycle_program(
         )
         t = jnp.where(active, st.t + 1, st.t)
         return SlotState(cache, seqs, scores, t, st.budget, done,
-                         st.occupied, st.rng), None
+                         st.occupied, st.classes, st.rng), None
 
     keys = jax.random.split(state.rng, segment_steps + 1)
     state = state._replace(rng=keys[0])
@@ -496,6 +503,7 @@ class StreamingTransferEngine:
                     budget=jax.device_put(st.budget, bs),
                     done=jax.device_put(st.done, bs),
                     occupied=jax.device_put(st.occupied, bs),
+                    classes=jax.device_put(st.classes, bs),
                     rng=jax.device_put(st.rng, replicated(self.mesh)),
                 )
             if self._harvest_delay is None:

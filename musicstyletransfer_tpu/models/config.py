@@ -161,6 +161,22 @@ class DecoderConfig(Config):
     output_dim: int = 293
     decoder_type: str = "transformer"  # "transformer" | "lstm"
     lstm_config: Optional[LSTMConfig] = None
+    # How the target class conditions the decoder:
+    #   "initial"  — class embedding enters ONLY through the prepended
+    #                conditioning state (reference: model.py:229-232);
+    #   "per_step" — class embedding is ALSO added to every position's
+    #                token embedding, so the class signal does not have to
+    #                survive the whole sequence through attention to the
+    #                conditioning position. Measured motivation: at L=2046
+    #                initial-state conditioning loses the register axis to
+    #                the latent's source information at every free-bits
+    #                operating point, while the GAN family's per-step class
+    #                input measured 1.6x better pitch fit than
+    #                initial-state-only (BASELINE.md round-3/4). Same
+    #                parameter tree (reuses class_emb) — checkpoints are
+    #                structurally identical; the sidecar config selects the
+    #                behavior. Transformer decoder only.
+    class_conditioning: str = "initial"  # "initial" | "per_step"
 
 
 @register_config

@@ -85,9 +85,13 @@ class LSTMDecoder(nn.Module):
         return self._initial_carries(z, classes)
 
     def step_token(
-        self, token_t: jax.Array, cache, t: jax.Array
+        self, token_t: jax.Array, cache, t: jax.Array, classes=None
     ) -> Tuple[jax.Array, Any]:
-        del t  # recurrent state carries all positional context
+        # t: recurrent state carries all positional context. classes: the
+        # LSTM only supports initial-state conditioning (StyleVAE.setup
+        # rejects per_step + lstm), so the argument is accepted for surface
+        # uniformity with VAEDecoder.step_token and ignored.
+        del t, classes
         x = self.token_emb(token_t)
         new_carries = []
         for i, rnn in enumerate(self.rnns):

@@ -19,7 +19,7 @@ with labels [B, L+1] (reference: model.py:250-257).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,6 +107,18 @@ class VAEDecoder(nn.Module):
         """[B, D] conditioning embedding (reference: model.py:229-232)."""
         return self.latent2hid(z.astype(self.dtype)) + self.class_emb(classes)
 
+    @property
+    def per_step_conditioning(self) -> bool:
+        return getattr(self.config, "class_conditioning", "initial") == "per_step"
+
+    def _step_bias(self, classes: Optional[jax.Array]) -> jax.Array:
+        """Per-position class-embedding bias (class_conditioning="per_step")."""
+        assert classes is not None, (
+            "class_conditioning='per_step' decoders need the classes array "
+            "at every decode step"
+        )
+        return self.class_emb(classes)
+
     def __call__(
         self,
         tokens: jax.Array,
@@ -117,10 +129,10 @@ class VAEDecoder(nn.Module):
     ) -> jax.Array:
         """tokens: SOS-prefixed [B, L+1]; returns logits [B, L+1, V]."""
         init = self.initial_state(z, classes)[:, None, :]  # [B, 1, D]
-        x = jnp.concatenate(
-            [init, _embed_tokens_mxu(self.token_emb, tokens, self.dtype)],
-            axis=1,
-        )  # [B, L+2, D]
+        tok = _embed_tokens_mxu(self.token_emb, tokens, self.dtype)
+        if self.per_step_conditioning:
+            tok = tok + self._step_bias(classes)[:, None, :]
+        x = jnp.concatenate([init, tok], axis=1)  # [B, L+2, D]
         # Valid positions: conditioning state + seq_lens real tokens
         # (reference: model.py:246-247 masks to seq_length + 1).
         positions = jnp.arange(x.shape[1])
@@ -139,17 +151,32 @@ class VAEDecoder(nn.Module):
         return self.output_layer(h_t.astype(jnp.float32)), cache
 
     def step_token(
-        self, token_t: jax.Array, cache: Cache, t: jax.Array
+        self,
+        token_t: jax.Array,
+        cache: Cache,
+        t: jax.Array,
+        classes: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Cache]:
-        """One decode position from token ids [B]."""
-        return self.step_embedded(self.token_emb(token_t), cache, t)
+        """One decode position from token ids [B]. ``classes`` is required
+        (and used) only under per-step class conditioning."""
+        x_t = self.token_emb(token_t)
+        if self.per_step_conditioning:
+            x_t = x_t + self._step_bias(classes)
+        return self.step_embedded(x_t, cache, t)
 
     def step_ragged(
-        self, token_t: jax.Array, cache: Cache, t: jax.Array
+        self,
+        token_t: jax.Array,
+        cache: Cache,
+        t: jax.Array,
+        classes: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Cache]:
         """One decode position with PER-ROW positions ``t`` [S] — the
         continuous-batching engine's slots (inference/streaming.py)."""
-        h_t, cache = self.decoder.step_ragged(self.token_emb(token_t), cache, t)
+        x_t = self.token_emb(token_t)
+        if self.per_step_conditioning:
+            x_t = x_t + self._step_bias(classes)
+        h_t, cache = self.decoder.step_ragged(x_t, cache, t)
         return self.output_layer(h_t.astype(jnp.float32)), cache
 
     def prefill(self, z: jax.Array, classes: jax.Array, max_len: int) -> Cache:
@@ -175,6 +202,13 @@ class StyleVAE(nn.Module):
         self.encoder = VAEEncoder(config=self.config.encoder_config, dtype=dt,
                                   name="encoder")
         if self.config.decoder_config.decoder_type == "lstm":
+            if getattr(self.config.decoder_config, "class_conditioning",
+                       "initial") != "initial":
+                raise ValueError(
+                    "class_conditioning='per_step' requires the transformer "
+                    "decoder (the legacy LSTM keeps the reference's "
+                    "initial-state conditioning)"
+                )
             from .lstm import LSTMDecoder
 
             self.decoder = LSTMDecoder(
@@ -214,18 +248,26 @@ class StyleVAE(nn.Module):
         return self.decoder.prefill(z, classes, max_len)
 
     def decode_step(
-        self, token_t: jax.Array, cache: Cache, t: jax.Array
+        self,
+        token_t: jax.Array,
+        cache: Cache,
+        t: jax.Array,
+        classes: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Cache]:
-        return self.decoder.step_token(token_t, cache, t)
+        return self.decoder.step_token(token_t, cache, t, classes)
 
     def decode_init(self, z: jax.Array, classes: jax.Array) -> jax.Array:
         """[B, D] conditioning state (the fused decode kernel's position 0)."""
         return self.decoder.initial_state(z, classes)
 
     def decode_step_ragged(
-        self, token_t: jax.Array, cache: Cache, t: jax.Array
+        self,
+        token_t: jax.Array,
+        cache: Cache,
+        t: jax.Array,
+        classes: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Cache]:
-        return self.decoder.step_ragged(token_t, cache, t)
+        return self.decoder.step_ragged(token_t, cache, t, classes)
 
 
 def make_model(config: ModelConfig) -> StyleVAE:

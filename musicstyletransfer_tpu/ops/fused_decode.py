@@ -139,6 +139,11 @@ def supports_fused_decode(
     dc = config.decoder_config
     if getattr(dc, "decoder_type", "transformer") == "lstm":
         return False
+    if getattr(dc, "class_conditioning", "initial") != "initial":
+        # Per-step class conditioning adds a per-row bias to every in-kernel
+        # token embedding; the kernel does not carry that input, so such
+        # configs run the XLA while_loop decode (decode.decode_sampled).
+        return False
     tc = dc.transformer_config
     if tc.model_size % tc.num_heads != 0 or tc.model_size % 128 != 0:
         return False
