@@ -175,24 +175,15 @@ class MultiHeadSelfAttention(nn.Module):
         into the same fused matmul), so no activation-side transpose or
         [B, H, T, hd] array ever materializes — the core kernel's whole
         point (ops/attention_core.py docstring)."""
+        from ..ops.attention_core import interleave_qkv_weights
+
         dt = self.dtype
-        D, H, hd = self.model_size, self.num_heads, self.head_dim
-        w = jnp.stack(
-            [
-                self.w_q.kernel.astype(dt).reshape(D, H, hd),
-                self.w_k.kernel.astype(dt).reshape(D, H, hd),
-                self.w_v.kernel.astype(dt).reshape(D, H, hd),
-            ],
-            axis=2,
-        ).reshape(D, H * 3 * hd)
-        b = jnp.stack(
-            [
-                self.w_q.bias.astype(dt).reshape(H, hd),
-                self.w_k.bias.astype(dt).reshape(H, hd),
-                self.w_v.bias.astype(dt).reshape(H, hd),
-            ],
-            axis=1,
-        ).reshape(H * 3 * hd)
+        w, b = interleave_qkv_weights(
+            self.w_q.kernel.astype(dt), self.w_q.bias.astype(dt),
+            self.w_k.kernel.astype(dt), self.w_k.bias.astype(dt),
+            self.w_v.kernel.astype(dt), self.w_v.bias.astype(dt),
+            self.num_heads, self.head_dim,
+        )
         return x.astype(dt) @ w + b
 
     def _core_eligible(self, x: jax.Array) -> bool:

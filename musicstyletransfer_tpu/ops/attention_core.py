@@ -358,6 +358,30 @@ def attention_core_sharded(
     )(qkv, key_lens)
 
 
+def interleave_qkv_weights(wq, bq, wk, bk, wv, bv, num_heads: int,
+                           head_dim: int):
+    """Permute separate Q/K/V projection weights into the kernel's
+    per-head-interleaved column layout: output column group ``h`` is
+    ``[q_h | k_h | v_h]``. The permutation is weight-side (a [D, 3D]
+    reshuffle, 4x smaller than the activation, hoisted into the fused
+    projection matmul). Shared by BOTH production paths — the mesh-free
+    projection (transformer.py::_qkv_interleaved) and the tp shard_map
+    body (attention_core_tp, where num_heads is the LOCAL per-shard head
+    count) — so the layout cannot drift between them; the tp/mesh-free
+    equivalence tests pin it once. Returns (w [D, H*3*hd], b [H*3*hd])."""
+    D = wq.shape[0]
+    H, hd = num_heads, head_dim
+    w = jnp.stack(
+        [wq.reshape(D, H, hd), wk.reshape(D, H, hd), wv.reshape(D, H, hd)],
+        axis=2,
+    ).reshape(D, H * 3 * hd)
+    b = jnp.stack(
+        [bq.reshape(H, hd), bk.reshape(H, hd), bv.reshape(H, hd)],
+        axis=1,
+    ).reshape(H * 3 * hd)
+    return w, b
+
+
 def attention_core_tp(
     x: jax.Array,
     wq: jax.Array,
@@ -407,25 +431,29 @@ def attention_core_tp(
     if mesh is None:
         mesh = current_mesh()
     assert mesh is not None, "attention_core_tp needs a mesh"
+    # Surface the preconditions the caller's eligibility gate is supposed
+    # to enforce (transformer.py::_core_eligible): without these, shard_map
+    # fails with an opaque GSPMD divisibility message instead of naming
+    # the actual contract (each model shard must hold COMPLETE heads, each
+    # data shard complete batch rows).
+    tp = mesh.shape.get(AXIS_MODEL, 1)
+    dp = mesh.shape.get(AXIS_DATA, 1)
+    assert num_heads % tp == 0, (
+        f"attention_core_tp slices the column-sharded Q/K/V kernels into "
+        f"complete heads per model shard: num_heads={num_heads} must be "
+        f"divisible by the mesh's model axis ({tp})"
+    )
+    assert x.shape[0] % dp == 0, (
+        f"attention_core_tp shards the batch over the data axis: "
+        f"B={x.shape[0]} must be divisible by the mesh's data axis ({dp})"
+    )
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(head_dim)
-    D = x.shape[-1]
     hd = head_dim
 
     def body(x, wq, bq, wk, bk, wv, bv, lens):
         Hl = wq.shape[1] // hd  # complete local heads on this model shard
-        w = jnp.stack(
-            [
-                wq.reshape(D, Hl, hd),
-                wk.reshape(D, Hl, hd),
-                wv.reshape(D, Hl, hd),
-            ],
-            axis=2,
-        ).reshape(D, Hl * 3 * hd)
-        b = jnp.stack(
-            [bq.reshape(Hl, hd), bk.reshape(Hl, hd), bv.reshape(Hl, hd)],
-            axis=1,
-        ).reshape(Hl * 3 * hd)
+        w, b = interleave_qkv_weights(wq, bq, wk, bk, wv, bv, Hl, hd)
         qkv = x @ w + b
         return attention_core(qkv, lens, Hl, causal, sm_scale, interpret)
 
