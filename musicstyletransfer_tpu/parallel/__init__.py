@@ -17,6 +17,11 @@ from .distributed import (
     mesh_process_info,
 )
 from .pipeline import pipeline_apply
+from .transformer_pipeline import (
+    pipeline_transformer_stack,
+    stack_stage_params,
+    transformer_stage_fn,
+)
 
 __all__ = [
     "AXIS_DATA",
@@ -31,7 +36,10 @@ __all__ = [
     "param_shardings",
     "param_spec",
     "pipeline_apply",
+    "pipeline_transformer_stack",
     "replicated",
+    "stack_stage_params",
+    "transformer_stage_fn",
     "shard_batch",
     "shard_params",
 ]

@@ -21,6 +21,13 @@ it is pointless (the bubble dominates), so the trainer does not use this
 path; it exists as the framework-level primitive, correctness-pinned by
 tests/test_pipeline.py (forward == sequential, grads == sequential) and
 compile-validated by the driver's multichip dryrun.
+
+Activations are PYTREES: ``x`` (and therefore what hops between stages)
+may be any pytree of arrays sharing a leading batch axis, so side inputs
+that must travel with their microbatch — the attention key mask, ragged
+seq_lens — ride along as tuple elements that ``stage_fn`` passes through
+unchanged. ``transformer_pipeline.py`` builds on exactly that to carry
+real TransformerLayer stacks (stage = K layers) through this primitive.
 """
 
 from __future__ import annotations
@@ -53,45 +60,62 @@ def _pipeline_body(
     (valid on every device after the final broadcast hop)."""
     idx = jax.lax.axis_index(axis_name)
     params_local = jax.tree.map(lambda p: p[0], stage_params)
-    M = x_mb.shape[0]
+    M = jax.tree.leaves(x_mb)[0].shape[0]
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
     def tick(carry, t):
         acts, outputs = carry
         # Stage 0 ingests microbatch t (while it exists); others take the
-        # activation that just hopped in.
-        mb_in = x_mb[jnp.minimum(t, M - 1)]
-        h_in = jnp.where(idx == 0, mb_in, acts)
+        # activation that just hopped in. Activations are pytrees; every
+        # per-leaf op below is treemapped.
+        mb_in = jax.tree.map(
+            lambda leaf: jax.lax.dynamic_index_in_dim(
+                leaf, jnp.minimum(t, M - 1), keepdims=False
+            ),
+            x_mb,
+        )
+        h_in = jax.tree.map(
+            lambda m, a: jnp.where(idx == 0, m, a), mb_in, acts
+        )
         h_out = stage_fn(params_local, h_in)
         # The LAST stage's result for microbatch t - (S-1) is ready when
         # 0 <= t - S + 1 < M; collect it (masked elsewhere / in the bubble).
         out_slot = t - (n_stages - 1)
         valid = (out_slot >= 0) & (out_slot < M)
-        outputs = jax.lax.dynamic_update_index_in_dim(
-            outputs,
-            jnp.where(
-                valid & (idx == n_stages - 1),
-                h_out,
-                jax.lax.dynamic_index_in_dim(
-                    outputs, jnp.clip(out_slot, 0, M - 1), keepdims=False
+        slot = jnp.clip(out_slot, 0, M - 1)
+
+        def collect(outs, h):
+            return jax.lax.dynamic_update_index_in_dim(
+                outs,
+                jnp.where(
+                    valid & (idx == n_stages - 1),
+                    h,
+                    jax.lax.dynamic_index_in_dim(outs, slot, keepdims=False),
                 ),
-            ),
-            jnp.clip(out_slot, 0, M - 1),
-            axis=0,
-        )
+                slot,
+                axis=0,
+            )
+
+        outputs = jax.tree.map(collect, outputs, h_out)
         # Hop activations one stage forward.
-        acts = jax.lax.ppermute(h_out, axis_name, perm)
+        acts = jax.tree.map(
+            lambda h: jax.lax.ppermute(h, axis_name, perm), h_out
+        )
         return (acts, outputs), None
 
-    acts0 = jnp.zeros_like(x_mb[0])
-    outputs0 = jnp.zeros_like(x_mb)
+    acts0 = jax.tree.map(lambda leaf: jnp.zeros_like(leaf[0]), x_mb)
+    outputs0 = jax.tree.map(jnp.zeros_like, x_mb)
     (_, outputs), _ = jax.lax.scan(
         tick, (acts0, outputs0), jnp.arange(M + n_stages - 1)
     )
     # Only the last device holds real outputs; broadcast them to all so the
     # result is replicated over the pipe axis (psum of one-hot-masked data).
-    keep = (idx == n_stages - 1).astype(outputs.dtype)
-    return jax.lax.psum(outputs * keep, axis_name)
+    return jax.tree.map(
+        lambda o: jax.lax.psum(
+            o * (idx == n_stages - 1).astype(o.dtype), axis_name
+        ),
+        outputs,
+    )
 
 
 def pipeline_apply(
@@ -107,13 +131,23 @@ def pipeline_apply(
     ``mesh``'s ``axis_name``.
 
     stage_fn(params_i, h) -> h' applies ONE stage; it must preserve the
-    activation shape (stages are chained). stage_params is a pytree whose
-    leaves are stacked on a leading stage axis of size mesh.shape[axis_name]
-    (stage i's slice lands on mesh position i). x: [B, ...] with
-    B % microbatches == 0. Returns stage_{S-1}(...stage_0(x)), replicated.
+    activation pytree structure and shapes (stages are chained), and must
+    be total — bubble ticks evaluate it on zero-filled garbage whose
+    result is masked out, so it may not produce NaN/inf on arbitrary
+    finite inputs. stage_params is a pytree whose leaves are stacked on a
+    leading stage axis of size mesh.shape[axis_name] (stage i's slice
+    lands on mesh position i). x: a pytree of [B, ...] arrays (a bare
+    array included) sharing the leading batch axis, B % microbatches == 0;
+    non-activation data that must travel with its microbatch (key masks,
+    seq_lens) rides along as extra tuple elements stage_fn passes through.
+    Returns stage_{S-1}(...stage_0(x)) with x's structure, replicated.
     """
     n_stages = mesh.shape[axis_name]
-    B = x.shape[0]
+    x_leaves = jax.tree.leaves(x)
+    assert x_leaves, "x has no array leaves"
+    B = x_leaves[0].shape[0]
+    for leaf in x_leaves:
+        assert leaf.shape[0] == B, (leaf.shape, B)
     assert B % microbatches == 0, (B, microbatches)
     for leaf in jax.tree.leaves(stage_params):
         assert leaf.shape[0] == n_stages, (
@@ -121,7 +155,9 @@ def pipeline_apply(
             f"{n_stages}"
         )
     mb = B // microbatches
-    x_mb = x.reshape(microbatches, mb, *x.shape[1:])
+    x_mb = jax.tree.map(
+        lambda leaf: leaf.reshape(microbatches, mb, *leaf.shape[1:]), x
+    )
 
     body = functools.partial(
         _pipeline_body,
@@ -133,7 +169,11 @@ def pipeline_apply(
     out = _shard_map(
         body,
         mesh=mesh,
-        in_specs=(param_specs, P()),
-        out_specs=P(),
+        in_specs=(param_specs, jax.tree.map(lambda _: P(), x_mb)),
+        out_specs=jax.tree.map(lambda _: P(), x_mb),
     )(stage_params, x_mb)
-    return out.reshape(B, *x.shape[1:])
+    return jax.tree.map(
+        lambda leaf: leaf.reshape(leaf.shape[0] * leaf.shape[1],
+                                  *leaf.shape[2:]),
+        out,
+    )
