@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
                           "padded to the ring internally)")
     tpu.add_argument("--keep-checkpoints", type=int, default=0,
                      help="retain only the newest N checkpoints (0 = all)")
+    tpu.add_argument("--gen-health-rows", type=int, default=8,
+                     help="per-checkpoint generation-health probe: "
+                          "style-transfer this many validation rows into "
+                          "every class and log termination rate + mean "
+                          "generated length (teacher-forced CE misses "
+                          "decode collapse; 0 disables)")
     tpu.add_argument("--rng-impl", default="rbg",
                      choices=["rbg", "unsafe_rbg", "threefry2x32"],
                      help="training PRNG; rbg = TPU hardware RNG (1.6x "

@@ -105,6 +105,7 @@ def create_train_config(args) -> TrainConfig:
         profile_dir=args.profile_dir,
         rng_impl=args.rng_impl,
         keep_checkpoints=args.keep_checkpoints,
+        gen_health_rows=args.gen_health_rows,
     )
 
 

@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--admit-size", type=int, default=16,
                    help="--streaming: max (request x class) units encoded "
                         "into free slots per cycle")
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="--streaming: bound on the host request queue; at "
+                        "the bound new requests are SHED with an immediate "
+                        "EngineOverloaded error (HTTP 503) instead of "
+                        "queueing unboundedly past capacity (0 = "
+                        "unbounded)")
     p.add_argument("--harvest-delay-ms", type=float, default=None,
                    help="--streaming: time given to each cycle readout's "
                         "async device->host copy before harvesting it "
@@ -173,6 +179,14 @@ def serve_http(svc: StyleTransferService, host: str, port: int):
                 return self._send(504, "text/plain", b"transfer timed out")
             result = box["result"]
             if isinstance(result, Exception):  # failed batch, fail fast
+                from ..inference.streaming import EngineOverloaded
+
+                if isinstance(result, EngineOverloaded):
+                    # Bounded-queue shed: the canonical "back off and
+                    # retry elsewhere" status, not a server fault.
+                    return self._send(
+                        503, "text/plain", f"overloaded: {result}".encode()
+                    )
                 return self._send(
                     500, "text/plain", f"transfer failed: {result}".encode()
                 )
@@ -233,6 +247,7 @@ def main(argv=None) -> None:
             admit_size=args.admit_size,
             harvest_delay_s=(None if args.harvest_delay_ms is None
                              else args.harvest_delay_ms / 1e3),
+            max_queue=args.max_queue,
         )
     else:
         svc = StyleTransferService(

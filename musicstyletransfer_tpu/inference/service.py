@@ -75,10 +75,18 @@ class ServiceStats:
         self._batches = 0
         self._max_queue_depth = 0
         self._batch_errors = 0
+        self._shed = 0
 
     def record_error(self) -> None:
         with self._lock:
             self._batch_errors += 1
+
+    def record_shed(self) -> None:
+        """A request rejected at admission by a bounded-queue engine
+        (streaming.EngineOverloaded) — counted separately from served
+        and from batch errors."""
+        with self._lock:
+            self._shed += 1
 
     def record_batch(self, fill: int, queue_depth_after: int,
                      latencies_ms: List[float],
@@ -105,10 +113,12 @@ class ServiceStats:
             served, batches = self._served, self._batches
             depth = self._max_queue_depth
             errors = self._batch_errors
+            shed = self._shed
         return {
             "requests_served": served,
             "batches": batches,
             "batch_errors": errors,
+            "requests_shed": shed,
             "mean_batch_fill": (sum(fills) / len(fills)) if fills else 0.0,
             "max_queue_depth": depth,
             "latency_p50_ms": _percentile(lat, 50),

@@ -88,6 +88,16 @@ from .sampler import load_inference_model
 from .service import ServiceStats, TransferResult
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised (via the request callback) when a bounded-queue engine sheds
+    a request at admission. Shedding is the engine's overload policy: an
+    open-loop offered rate above capacity otherwise grows the host queue
+    (and every queued request's latency) without bound — the round-4
+    saturation study measured exactly that tail. Callers get an immediate,
+    cheap failure they can retry against another replica instead of a
+    timeout."""
+
+
 class SlotState(NamedTuple):
     """Device-resident engine state (donated through every dispatch)."""
 
@@ -329,6 +339,7 @@ class StreamingTransferEngine:
         seed: int = 0,
         harvest_delay_s: Optional[float] = None,
         mesh=None,
+        max_queue: int = 0,
     ):
         """``mesh``: optional jax.sharding.Mesh — run the engine sharded:
         slots ride the data axis (each chip owns ``slots/dp`` independent
@@ -336,7 +347,15 @@ class StreamingTransferEngine:
         sharding through the scan), params are placed once per the TP
         rules (replicated at tp=1), and per-cycle uploads (admission pack,
         temperature) are replicated. Same API as
-        ``StyleTransferService(mesh=...)``. None = single-device."""
+        ``StyleTransferService(mesh=...)``. None = single-device.
+
+        ``max_queue``: bound on the host request queue (0 = unbounded,
+        the pre-round-5 behavior). When the bound is reached, ``enqueue``
+        SHEDS the request: the callback fires immediately with an
+        ``EngineOverloaded`` exception and the request never occupies
+        queue or slot resources. The bound is approximate under
+        concurrent enqueuers (qsize races the engine thread by design —
+        an exact bound would serialize admission against the hot loop)."""
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
         )
@@ -393,6 +412,7 @@ class StreamingTransferEngine:
         # so drawing it costs no per-cycle transfer or host dispatch.
         self._seed = int(seed)
         self._writer = MelodyWriter()
+        self.max_queue = int(max_queue)
         self._queue: "queue.Queue" = queue.Queue()
         self._thread: Optional[threading.Thread] = None
         self._running = False
@@ -441,7 +461,14 @@ class StreamingTransferEngine:
     def enqueue(self, midi_bytes: bytes, callback: Callable) -> None:
         """Queue a request; ``callback(TransferResult)`` fires when every
         target class has been generated. On a failed cycle the callback
-        receives the Exception (same contract as the service)."""
+        receives the Exception (same contract as the service). With
+        ``max_queue`` set and the queue full, the request is shed: the
+        callback fires synchronously with ``EngineOverloaded``."""
+        if self.max_queue > 0 and self._queue.qsize() >= self.max_queue:
+            self.stats.record_shed()
+            callback(EngineOverloaded(
+                f"request queue at bound ({self.max_queue}); shedding"))
+            return
         self._queue.put(
             (self._tokens_from_midi(midi_bytes), callback, time.perf_counter())
         )

@@ -77,6 +77,17 @@ class TrainConfig:
     # Retain only the newest N params.* checkpoints (0 = keep all, the
     # reference's behavior).
     keep_checkpoints: int = 0
+    # Per-checkpoint generation-health probe: style-transfer this many
+    # rows (taken once from the validation set, else the train set) into
+    # every class and record termination rate + mean generated length as
+    # TB scalars (gen_*). Teacher-forced CE provably misses decode
+    # collapse — the round-4 wide run's final checkpoint read CE 1.51
+    # while every generated sequence was empty (BASELINE.md wide-run
+    # table) — so the trainer measures the decode surface directly.
+    # 0 disables; single-process, mesh-free runs only. Library default is
+    # off (tests and embedders opt in); cli.main defaults it to 8 so real
+    # training runs always track decode health.
+    gen_health_rows: int = 0
     # Train steps fused into ONE dispatched program via lax.scan
     # (train_step.run_multi). Semantically identical to sequential steps;
     # the win is host dispatch amortization — the canonical B=32/L=64
@@ -154,6 +165,8 @@ class Trainer:
         # On-device (sum, count) metric accumulators; fetched to host only
         # at log/checkpoint boundaries so the hot loop never syncs.
         self._metric_acc = None
+        self._health_batch = None
+        self._health_classes = 0
         self.progress = ckpt.TrainingProgress()
         self._batches_at_start = 0
         self._last_log = None
@@ -208,6 +221,18 @@ class Trainer:
         self._last_log = None
 
         cfg = self.config
+        self._health_batch = None
+        self._health_classes = 0
+        if (cfg.gen_health_rows > 0 and self.dist is None
+                and self.mesh is None):
+            src = validation_dataset if validation_dataset is not None \
+                else dataset
+            try:
+                self._health_classes = src.num_classes()
+                self._health_batch = self._make_health_batch(
+                    src, cfg.gen_health_rows)
+            except Exception as e:  # probe is best-effort, never fatal
+                print(f"generation-health probe disabled: {e}")
         if cfg.prefetch > 0:
             from ..data.prefetch import PrefetchingDataset
             from ..parallel.mesh import batch_sharding
@@ -484,6 +509,12 @@ class Trainer:
                                        self.config.keep_checkpoints + 1)
         self._metric_acc = None  # reset running metrics (trainer.py:210)
 
+        if self._health_batch is not None:
+            vals = self._generation_health()
+            self._write_scalars(vals)
+            print("Generation health: "
+                  + " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items())))
+
         if validation_dataset is None:
             return
         loss = self._eval_pass(validation_dataset)
@@ -505,6 +536,44 @@ class Trainer:
             print(f"Best loss thus far: {self.progress.best_reconstruction_loss}")
         if self.dist is None or self.dist.is_primary:
             self.progress.save(model_folder)
+
+    @staticmethod
+    def _make_health_batch(src, rows: int):
+        """First ``rows`` rows of ``src``'s first batch, as device arrays.
+        Fixed for the whole run so the decode program compiles once and
+        per-checkpoint numbers are comparable."""
+        b = next(iter(src))
+        if isinstance(b, RawBatch):
+            b = b.to_batch()
+        n = min(rows, int(b.tokens.shape[0]))
+        return (jnp.asarray(b.tokens[:n]), jnp.asarray(b.seq_lens[:n]))
+
+    def _generation_health(self) -> dict:
+        """Sample the decode surface with the CURRENT params: transfer the
+        fixed health rows into every class and summarize termination and
+        length. gen_min_class_termination catches one class's generator
+        dying while the other stays alive (the round-4 wide run's failure
+        mode), which the pooled rate averages away."""
+        from ..inference.decode import style_transfer_all_classes
+        from ..midi.vocab import EOS_ID, PAD_ID
+
+        tokens, seq_lens = self._health_batch
+        seqs, _ = style_transfer_all_classes(
+            self.model, self.state.params, tokens, seq_lens,
+            max_len=2 * int(tokens.shape[1]),
+            num_classes=self._health_classes,
+            # Fixed key: checkpoint-over-checkpoint deltas measure the
+            # params, not sampling noise.
+            rng=jax.random.key(self.config.seed),
+        )
+        seqs = np.asarray(seqs)  # [C, B, T']
+        terminated = (seqs == EOS_ID).any(axis=-1)
+        lengths = (seqs != PAD_ID).sum(axis=-1) - 1  # minus SOS
+        return {
+            "gen_termination_rate": float(terminated.mean()),
+            "gen_min_class_termination": float(terminated.mean(axis=1).min()),
+            "gen_mean_len": float(lengths.mean()),
+        }
 
     def _load_latest_checkpoint(self, model_folder: str) -> None:
         """Resume from the NEWEST checkpoint that actually restores.

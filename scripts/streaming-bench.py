@@ -12,17 +12,21 @@ the tunnel:
 
 Usage:
     python scripts/streaming-bench.py [load_frac] [slots] [segment_steps] \
-        [admit_size]
-Defaults: 0.5 128 32 16 — the SHIPPED engine configuration whose numbers
+        [admit_size] [max_queue]
+Defaults: 0.5 128 32 16 0 — the SHIPPED engine configuration whose numbers
 BASELINE.md's streaming study reports. Prints one JSON line per engine
-plus a summary. ``slots`` may be a comma list (e.g. ``128,256``): one
-streaming engine per value runs interleaved in the same window — the
-capacity-scaling probe (offer load_frac > 1 to push past the batch
+plus a summary. ``slots`` and ``admit_size`` may each be comma lists
+(e.g. ``128,256`` / ``16,64``): one streaming engine per (slots, admit)
+pair runs interleaved in the same window — the capacity-scaling and
+admission-tuning probes (offer load_frac > 1 to push past the batch
 service's capacity). ``load_frac`` may ALSO be a comma list (e.g.
-``0.3,0.5,0.7,0.9,1.0``): the latency-vs-load CURVE mode (VERDICT r03
-item 5) — per level, the batch service and every streaming engine run
-back-to-back in the same window, so each row's cross-engine comparison is
-window-fair and the curve characterizes the saturation tail.
+``0.3,0.5,0.7,0.9,1.0,1.2,1.5``): the latency-vs-load CURVE mode (VERDICT
+r03 item 5, extended past saturation per r04 item 5) — per level, the
+batch service and every streaming engine run back-to-back in the same
+window, so each row's cross-engine comparison is window-fair and the
+curve characterizes the saturation/overload tail. ``max_queue`` > 0
+bounds every streaming engine's host queue (overload sheds with
+EngineOverloaded; the per-engine ``shed`` count reports it).
 
 Tunnel discipline (CLAUDE.md): the two engines run interleaved per load
 level within one process/window; compare the printed pair, not numbers
@@ -64,6 +68,7 @@ def run_load(target, requests, rate, n_target, label):
         "p99_ms": round(s["latency_p99_ms"], 1),
         "mean_fill": round(s["mean_batch_fill"], 1),
         "max_queue_depth": s["max_queue_depth"],
+        "shed": s.get("requests_shed", 0),
         "errors": errors,
     }
     print(json.dumps(out), flush=True)
@@ -81,11 +86,13 @@ def main():
     slots_list = ([int(s) for s in sys.argv[2].split(",")]
                   if len(sys.argv) > 2 else [128])
     segment_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    admit_size = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    admit_list = ([int(a) for a in sys.argv[4].split(",")]
+                  if len(sys.argv) > 4 else [16])
+    max_queue = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     device = _pick_device()
     print(f"# device: {device}, load_fracs={load_fracs}, "
           f"slots={slots_list}, segment_steps={segment_steps}, "
-          f"admit_size={admit_size}", flush=True)
+          f"admit={admit_list}, max_queue={max_queue}", flush=True)
 
     from bench import _flagship_model_folder, _mixed_requests
 
@@ -103,13 +110,14 @@ def main():
         svc = StyleTransferService(folder, checkpoint=-1, batch_size=32,
                                    max_seq_len=64, max_wait_ms=5.0,
                                    buckets=[16, 32, 64])
+        engine_specs = [(s, a) for s in slots_list for a in admit_list]
         engines = [
-            (f"streaming[slots={s}]",
+            (f"streaming[slots={s},admit={a}]",
              StreamingTransferEngine(folder, checkpoint=-1, slots=s,
                                      max_seq_len=64,
                                      segment_steps=segment_steps,
-                                     admit_size=admit_size))
-            for s in slots_list
+                                     admit_size=a, max_queue=max_queue))
+            for s, a in engine_specs
         ]
 
         # Warm every compiled program outside the timed windows.
@@ -142,16 +150,20 @@ def main():
             s_batch = run_load(svc, requests, rate, n_target,
                                f"batch@{load_frac}")
             summary = {"load_frac": load_frac}
-            for (label, eng), slots in zip(engines, slots_list):
+            for (label, eng), (slots, admit) in zip(engines, engine_specs):
                 s = run_load(eng, requests, rate, n_target,
                              f"{label}@{load_frac}")
-                # One speedup entry PER slots config (a comma list
+                # One speedup entry PER engine config (a comma list
                 # previously collapsed to the first config's stats,
                 # silently excluding the rest from the summary).
-                summary[f"p50_speedup_streaming_slots{slots}"] = round(
+                key = f"slots{slots}_admit{admit}"
+                summary[f"p50_speedup_{key}"] = round(
                     s_batch["p50_ms"] / max(s["p50_ms"], 1e-9), 2)
-                summary[f"p99_speedup_streaming_slots{slots}"] = round(
+                summary[f"p99_speedup_{key}"] = round(
                     s_batch["p99_ms"] / max(s["p99_ms"], 1e-9), 2)
+                summary[f"sustained_ratio_{key}"] = round(
+                    s["sustained_req_per_sec"]
+                    / max(s_batch["sustained_req_per_sec"], 1e-9), 3)
             print(json.dumps(summary), flush=True)
 
 

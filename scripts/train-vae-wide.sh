@@ -19,7 +19,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --num-checkpoints-not-improved 32 \
 --epochs 10000 \
 --optimizer adam \
---optimizer-params clip_gradient:1.0 \
+--optimizer-params clip_gradient:1.0,clip_global_norm:1.0,warmup_steps:500,decay_steps:17000 \
 --learning-rate 0.0002 \
 --e-n-layers 4 \
 --e-dropout 0.1 \
@@ -39,3 +39,12 @@ python -m musicstyletransfer_tpu.cli.main \
 # latent at this scale (KL 0.001 on the round-3 scaled run;
 # BASELINE.md scaled-run footnote). Pass --kl-anneal-steps 0
 # --free-bits 0 for the bare reference objective.
+#
+# Schedule + global-norm clip (round 5): the round-4 wide run at a flat
+# 2e-4 had late-run grad-norm spikes (8.5-28.3) and per-checkpoint
+# generation health oscillating to a degenerate FINAL checkpoint
+# (BASELINE.md wide-run table). warmup 500 + cosine decay over 17k
+# steps (the 20-epoch budget on the synth_scaled corpus) plus
+# clip_global_norm:1.0 bound the tail; the trainer's per-checkpoint
+# generation-health probe (--gen-health-rows, default 8) tracks decode
+# collapse that teacher-forced CE misses.

@@ -401,6 +401,63 @@ class TestEngineServing:
         assert snap["requests_served"] == n
         assert snap["latency_p50_ms"] > 0
 
+    def test_bounded_queue_sheds_with_overloaded_error(self, model_folder):
+        """max_queue: past the bound, enqueue sheds — the callback fires
+        immediately with EngineOverloaded, the request never queues, and
+        the shed is counted. Queued (pre-bound) requests still serve."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            EngineOverloaded,
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4, max_queue=2,
+        )
+        # Engine NOT started: the queue cannot drain, so the bound is hit
+        # deterministically on the third enqueue.
+        results = {}
+
+        def cb_for(i):
+            return lambda r: results.setdefault(i, r)
+
+        for i in range(4):
+            eng.enqueue(_midi_bytes((50 + i,)), cb_for(i))
+        # Requests 2 and 3 were shed synchronously.
+        assert isinstance(results[2], EngineOverloaded)
+        assert isinstance(results[3], EngineOverloaded)
+        assert eng._queue.qsize() == 2
+        assert eng.stats.snapshot()["requests_shed"] == 2
+
+        # The surviving queued requests serve once the engine runs.
+        eng.start()
+        try:
+            deadline = time.time() + 120
+            while len(results) < 4 and time.time() < deadline:
+                time.sleep(0.05)
+        finally:
+            eng.stop()
+        for i in (0, 1):
+            assert not isinstance(results[i], Exception), results[i]
+            assert set(results[i].midi_by_class) == {0, 1}
+        snap = eng.stats.snapshot()
+        assert snap["requests_served"] == 2
+        assert snap["requests_shed"] == 2
+
+    def test_unbounded_queue_never_sheds(self, model_folder):
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=4, max_seq_len=8,
+            segment_steps=4, admit_size=4,
+        )
+        for i in range(8):
+            eng.enqueue(_midi_bytes((50 + i,)), lambda r: None)
+        assert eng._queue.qsize() == 8
+        assert eng.stats.snapshot()["requests_shed"] == 0
+
     def test_failure_fails_requests_fast(self, model_folder):
         from musicstyletransfer_tpu.inference.streaming import (
             StreamingTransferEngine,

@@ -575,6 +575,52 @@ class TestFinalCheckpoint:
         assert get_latest_checkpoint_index(folder) == 1
 
 
+class TestGenerationHealth:
+    def test_checkpoint_probe_logs_decode_stats(self, tmp_path, capsys):
+        """gen_health_rows > 0: every checkpoint samples the decode surface
+        and reports termination/length (teacher-forced CE misses decode
+        collapse — BASELINE.md round-4 wide-run table)."""
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=10**9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           gen_health_rows=2, logdir="/tmp/gh-tb")
+        t = Trainer(tcfg, model, params, sampler=None)
+        t.fit(ToyData(), str(tmp_path), epochs=2, validation_dataset=ToyData())
+        out = capsys.readouterr().out
+        assert "Generation health:" in out
+        assert "gen_termination_rate=" in out
+        assert "gen_min_class_termination=" in out
+
+        # The probe's numbers are well-formed and reproducible (fixed rows,
+        # fixed key: deltas across checkpoints measure params only).
+        vals = t._generation_health()
+        assert 0.0 <= vals["gen_min_class_termination"] \
+            <= vals["gen_termination_rate"] <= 1.0
+        assert vals["gen_mean_len"] >= 0.0
+        assert t._generation_health() == vals
+
+    def test_default_off_for_library_users(self, tmp_path, capsys):
+        from musicstyletransfer_tpu.training import TrainConfig, Trainer
+
+        cfg = tiny_config(vocab=10, classes=3, latent=8, size=16, heads=2,
+                          layers=1)
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=4)
+        tcfg = TrainConfig(batch_size=3, sampling_frequency=0,
+                           checkpoint_frequency=10**9,
+                           num_checkpoints_not_improved=-1, prefetch=0,
+                           logdir="/tmp/gh-tb2")
+        t = Trainer(tcfg, model, params, sampler=None)
+        t.fit(ToyData(), str(tmp_path), epochs=1)
+        assert "Generation health:" not in capsys.readouterr().out
+
+
 class TestCrashRecovery:
     def test_corrupt_checkpoint_falls_back_to_fresh(self, tmp_path, capsys):
         """A mangled params.N dir must not kill training (reference
