@@ -37,16 +37,26 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-dropout 0.1 \
 --use-flash-attention \
 --kl-anneal-steps 2000 \
---free-bits 0.02 \
+--free-bits 0.1 \
+--class-conditioning per_step \
 --ring-attention \
 --tp "${TP:-1}" \
 "$@"
-# --kl-anneal-steps 2000 --free-bits 0.02: same documented divergence
-# family as train-vae.sh (the plain objective collapses the latent),
-# but with a SMALLER floor than the corpus-scale scripts' 0.1 — at
-# L=2046 the 51-nat floor (0.1 x 512 dims) hands the latent enough
-# capacity to override the class conditioning: transfers keep the
-# SOURCE register. 0.02 flips register to the target AND improves
-# teacher-forced quality (both operating points measured, BASELINE.md
-# round-4 long-sequence rerun). Pass --kl-anneal-steps 0 --free-bits 0
-# for the bare reference objective.
+# --class-conditioning per_step --free-bits 0.1 (round 5): the
+# structural fix for long-L conditioning. With the class signal only in
+# the prepended position-0 state, NO free-bits floor passed both
+# quality axes at L=2046 — 0.1 (51 nats) let z's register info override
+# the class (transfers kept the SOURCE register), 0.02 flipped register
+# but starved content preservation to its null's edge (both ends
+# measured, BASELINE.md round-4 long-sequence rerun). Injecting the
+# class embedding at EVERY decoder position decouples the two: the
+# class no longer competes with z for the position-0 channel, so the
+# floor can stay at the corpus-scale 0.1 and z keeps row content.
+# Measured (BASELINE.md round-5, models/long_ps01): octave JS to
+# target 0.009 vs 0.653 to the other class (128 transfers; the best
+# initial-only point managed 0.168), own-source JS <= shuffled null
+# (0.375 < 0.396 at n=32, at the null at n=128 under sampled decode),
+# same teacher-forced quality (acc 0.600 / ppl 2.84, eval KL 8.4). --kl-anneal-steps 2000: same documented
+# divergence family as train-vae.sh (the plain objective collapses the
+# latent). Pass --kl-anneal-steps 0 --free-bits 0 --class-conditioning
+# initial for the bare reference objective.
