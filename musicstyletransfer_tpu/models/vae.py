@@ -79,6 +79,15 @@ class VAEEncoder(nn.Module):
         h = self.encoder(x, key_mask, train)
         h0 = h[:, 0, :]  # position-0 readout (reference: model.py:97)
         mu, logvar = jnp.split(self.latent_proj(h0.astype(jnp.float32)), 2, axis=-1)
+        # Clamp logvar: exp(logvar) feeds both the KL and the
+        # reparameterized sigma, so an unconstrained head is an overflow
+        # channel — one spike batch pushes a dim's logvar up, exp() goes
+        # inf in f32, and the whole run NaNs (observed at the wide config,
+        # BASELINE.md round-5 wide rerun). +/-8 spans sigma in
+        # [0.018, 54.6], far beyond any useful posterior, and is the
+        # identity for healthy values. (The reference's head is even less
+        # constrained — raw "stddev" with no positivity, model.py:100-104.)
+        logvar = jnp.clip(logvar, -8.0, 8.0)
         return mu, logvar
 
 

@@ -47,6 +47,14 @@ def build_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
     # Optional schedule via the same "k:v" extras:
     #   warmup_steps:N            linear warmup to the peak lr
     #   decay_steps:N             cosine decay to ~0 after warmup
+    #   skip_nonfinite:K          reject updates whose RAW gradients
+    #                             contain NaN/Inf (give up after K
+    #                             consecutive) — optax.apply_if_finite
+    #                             around the WHOLE chain, so the check
+    #                             sees gradients before the elementwise
+    #                             clip can launder an Inf into +/-1 and
+    #                             before a NaN can poison Adam's moments.
+    skip_nonfinite = int(extra.pop("skip_nonfinite", 0))
     lr = config.learning_rate
     warmup = int(extra.pop("warmup_steps", 0))
     decay = int(extra.pop("decay_steps", 0))
@@ -92,4 +100,12 @@ def build_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
         # separate `--optimizer adamw` path.)
         transforms.append(optax.add_decayed_weights(wd))
     transforms.append(core)
-    return optax.chain(*transforms)
+    chain = optax.chain(*transforms)
+    if skip_nonfinite:
+        # Note: wraps opt_state in ApplyIfFiniteState — checkpoints taken
+        # with this knob restore only under the same knob (the config
+        # travels with the run dir, so resume is consistent by
+        # construction).
+        chain = optax.apply_if_finite(
+            chain, max_consecutive_errors=skip_nonfinite)
+    return chain

