@@ -25,7 +25,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --num-checkpoints-not-improved 32 \
 --epochs 10000 \
 --optimizer adam \
---optimizer-params clip_gradient:1.0 \
+--optimizer-params clip_gradient:1.0,skip_nonfinite:10 \
 --learning-rate 0.0002 \
 --e-n-layers 4 \
 --e-dropout 0.1 \
@@ -56,7 +56,12 @@ python -m musicstyletransfer_tpu.cli.main \
 # target 0.009 vs 0.653 to the other class (128 transfers; the best
 # initial-only point managed 0.168), own-source JS <= shuffled null
 # (0.375 < 0.396 at n=32, at the null at n=128 under sampled decode),
-# same teacher-forced quality (acc 0.600 / ppl 2.84, eval KL 8.4). --kl-anneal-steps 2000: same documented
+# same teacher-forced quality (acc 0.600 / ppl 2.84, eval KL 8.4).
+# skip_nonfinite:10 (round 5): the measured long run logged finite
+# grad spikes to 2.6e4 near the end; the guard rejects any NaN/Inf
+# step outright (inert on finite grads, so it does not change the
+# measured recipe) — see the wide rerun's NaN post-mortem in
+# BASELINE.md. --kl-anneal-steps 2000: same documented
 # divergence family as train-vae.sh (the plain objective collapses the
 # latent). Pass --kl-anneal-steps 0 --free-bits 0 --class-conditioning
 # initial for the bare reference objective.
