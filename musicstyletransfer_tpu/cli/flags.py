@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="force CPU devices (tests/dev)")
     tpu.add_argument("--use-flash-attention", action="store_true",
                      help="Pallas fused attention in the transformer stacks")
+    tpu.add_argument("--attention-core-xla-backward", action="store_true",
+                     help="route the short-T attention core's backward "
+                          "through XLA einsums instead of the Pallas "
+                          "backward kernel (overflow-robust at extreme "
+                          "gradient spikes; see BASELINE.md wide NaN "
+                          "post-mortem)")
     tpu.add_argument("--prefetch", type=int, default=2,
                      help="host->device input prefetch depth (0 disables)")
     tpu.add_argument("--grad-accum-steps", type=int, default=1,

@@ -39,6 +39,8 @@ def create_model_config(args, dataset) -> ModelConfig:
                 vocab_size=dataset.num_tokens(),
                 num_heads=args.e_num_heads,
                 use_flash_attention=args.use_flash_attention,
+                attention_core_xla_backward=getattr(
+                    args, "attention_core_xla_backward", False),
                 remat=args.remat,
                 ring_attention=args.ring_attention,
                 sequence_sharding=args.ring_attention,
@@ -55,6 +57,8 @@ def create_model_config(args, dataset) -> ModelConfig:
                 vocab_size=dataset.num_tokens(),
                 num_heads=args.e_num_heads,
                 use_flash_attention=args.use_flash_attention,
+                attention_core_xla_backward=getattr(
+                    args, "attention_core_xla_backward", False),
                 remat=args.remat,
                 ring_attention=args.ring_attention,
                 sequence_sharding=args.ring_attention,

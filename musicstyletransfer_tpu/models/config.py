@@ -106,6 +106,15 @@ class TransformerConfig(Config):
     # 15.81 ms) — the regime where the streaming flash kernel LOST 1.4x
     # in-model (BASELINE.md "Attention at T<=512").
     attention_core_min_seq_len: int = 256
+    # Route the core's custom-VJP backward through plain XLA einsums
+    # (same recompute-from-lse math) instead of the Pallas backward
+    # kernel. Overflow-robust at extreme cotangent magnitudes: the wide
+    # config's transient training spikes reach ~1e19 (forward healthy),
+    # where the Pallas backward emits non-finite dqkv and the XLA
+    # formulation stays finite (BASELINE.md round-5 wide NaN
+    # post-mortem). Costs part of the core's backward fusion win; the
+    # wide training script enables it.
+    attention_core_xla_backward: bool = False
     # Sequence parallelism: constrain activations to shard the time axis
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.

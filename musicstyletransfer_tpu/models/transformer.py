@@ -112,6 +112,8 @@ class MultiHeadSelfAttention(nn.Module):
     # takes the batched path instead of XLA, from this length up (measured;
     # see TransformerConfig.attention_core_min_seq_len). 0 disables.
     core_min_seq_len: int = 0
+    # Overflow-robust XLA backward for the core (see TransformerConfig).
+    core_xla_backward: bool = False
     use_ring: bool = False
     dtype: Any = jnp.float32
 
@@ -255,7 +257,7 @@ class MultiHeadSelfAttention(nn.Module):
                 qkv = self._qkv_interleaved(x)
                 ctx = attention_core(
                     qkv, key_lens, self.num_heads, self.causal, None,
-                    should_interpret(),
+                    should_interpret(), self.core_xla_backward,
                 )
             elif mesh.shape.get(AXIS_MODEL, 1) > 1:
                 # tp mesh: projection + interleave + kernel per head shard
@@ -268,12 +270,14 @@ class MultiHeadSelfAttention(nn.Module):
                     self.w_v.kernel.astype(dt), self.w_v.bias.astype(dt),
                     key_lens, self.num_heads, self.head_dim, self.causal,
                     interpret=should_interpret(),
+                    xla_backward=self.core_xla_backward,
                 )
             else:  # pure-dp mesh: per-shard kernel via shard_map
                 qkv = self._qkv_interleaved(x)
                 ctx = attention_core_sharded(
                     qkv, key_lens, self.num_heads, self.causal,
                     interpret=should_interpret(),
+                    xla_backward=self.core_xla_backward,
                 )
             return self.w_o(ctx)
         q, k, v = self._qkv(x)
@@ -402,6 +406,8 @@ class TransformerLayer(nn.Module):
             use_flash=c.use_flash_attention,
             flash_min_seq_len=getattr(c, "flash_min_seq_len", 1024),
             core_min_seq_len=getattr(c, "attention_core_min_seq_len", 0),
+            core_xla_backward=getattr(c, "attention_core_xla_backward",
+                                      False),
             use_ring=getattr(c, "ring_attention", False),
             dtype=self.dtype,
         )

@@ -264,7 +264,47 @@ def _core_backward(qkv, key_lens, lse, out, g, num_heads, causal, sm_scale,
     return dqkv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _core_xla_backward(qkv, key_lens, lse, out, g, num_heads, causal,
+                       sm_scale):
+    """The kernel backward's exact math as plain XLA einsums, all f32.
+
+    Same recompute-from-lse formulation as ``_core_bwd_kernel`` — used as
+    an overflow-robust alternative: at the wide config a transient
+    training spike drives cotangent magnitudes to ~1e19 (forward still
+    healthy, BASELINE.md round-5 wide NaN post-mortem), where the Pallas
+    backward produces non-finite dqkv while this formulation stays
+    finite. Select with ``xla_backward=True`` (config knob
+    ``attention_core_xla_backward``); the Pallas backward remains the
+    default for the measured full-step speedup.
+    """
+    B, T, W = qkv.shape
+    H = num_heads
+    hd = W // (3 * H)
+    qkv_h = qkv.reshape(B, T, H, 3, hd).astype(jnp.float32)
+    q = qkv_h[:, :, :, 0] * sm_scale  # pre-scaled, kernel's discipline
+    k = qkv_h[:, :, :, 1]
+    v = qkv_h[:, :, :, 2]
+    do = g.reshape(B, T, H, hd).astype(jnp.float32)
+    o = out.reshape(B, T, H, hd).astype(jnp.float32)
+
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    pos = jnp.arange(T)
+    mask = pos[None, None, None, :] < key_lens[:, None, None, None]
+    if causal:
+        mask = mask & (pos[None, None, :, None] >= pos[None, None, None, :])
+    lse_q = lse[:, :, :, 0][:, :, :, None]  # [B, H, Tq, 1]
+    mask = mask & (lse_q > -1e29)  # fully-masked-row sentinel, as in-kernel
+    p = jnp.where(mask, jnp.exp(s - lse_q), 0.0)
+    delta = jnp.sum(do * o, axis=-1)  # [B, T, H]
+    dp = jnp.einsum("bqhd,bkhd->bhqk", do, v)
+    ds = p * (dp - delta.transpose(0, 2, 1)[:, :, :, None])
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * sm_scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q)  # q pre-scaled folds dK's scale
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, do)
+    return jnp.stack([dq, dk, dv], axis=3).reshape(B, T, W).astype(qkv.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def attention_core(
     qkv: jax.Array,
     key_lens: jax.Array,
@@ -272,6 +312,7 @@ def attention_core(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     interpret: bool = False,
+    xla_backward: bool = False,
 ) -> jax.Array:
     """Fused resident attention over the interleaved QKV activation.
 
@@ -293,7 +334,8 @@ def attention_core(
     return out
 
 
-def _core_vjp_fwd(qkv, key_lens, num_heads, causal, sm_scale, interpret):
+def _core_vjp_fwd(qkv, key_lens, num_heads, causal, sm_scale, interpret,
+                  xla_backward=False):
     if sm_scale is None:
         hd = qkv.shape[-1] // (3 * num_heads)
         sm_scale = 1.0 / math.sqrt(hd)
@@ -302,13 +344,18 @@ def _core_vjp_fwd(qkv, key_lens, num_heads, causal, sm_scale, interpret):
     return out, (qkv, key_lens, lse, out)
 
 
-def _core_vjp_bwd(num_heads, causal, sm_scale, interpret, residuals, g):
+def _core_vjp_bwd(num_heads, causal, sm_scale, interpret, xla_backward,
+                  residuals, g):
     qkv, key_lens, lse, out = residuals
     if sm_scale is None:
         hd = qkv.shape[-1] // (3 * num_heads)
         sm_scale = 1.0 / math.sqrt(hd)
-    dqkv = _core_backward(qkv, key_lens, lse, out, g, num_heads, causal,
-                          sm_scale, interpret)
+    if xla_backward:
+        dqkv = _core_xla_backward(qkv, key_lens, lse, out, g, num_heads,
+                                  causal, sm_scale)
+    else:
+        dqkv = _core_backward(qkv, key_lens, lse, out, g, num_heads, causal,
+                              sm_scale, interpret)
     return dqkv, None
 
 
@@ -324,6 +371,7 @@ def attention_core_sharded(
     mesh=None,
     batch_axis: Optional[str] = None,
     interpret: bool = False,
+    xla_backward: bool = False,
 ) -> jax.Array:
     """Data-parallel composition: the core kernel per batch shard under
     ``shard_map`` (GSPMD cannot partition a pallas_call itself — without
@@ -348,6 +396,7 @@ def attention_core_sharded(
         causal=causal,
         sm_scale=sm_scale,
         interpret=interpret,
+        xla_backward=xla_backward,
     )
     spec = P(batch_axis, None, None)
     return unchecked_shard_map()(
@@ -397,6 +446,7 @@ def attention_core_tp(
     sm_scale: Optional[float] = None,
     mesh=None,
     interpret: bool = False,
+    xla_backward: bool = False,
 ) -> jax.Array:
     """Tensor-parallel composition: QKV projection + weight-side head
     interleave + the core kernel, all inside ONE ``shard_map`` over the
@@ -455,7 +505,8 @@ def attention_core_tp(
         Hl = wq.shape[1] // hd  # complete local heads on this model shard
         w, b = interleave_qkv_weights(wq, bq, wk, bk, wv, bv, Hl, hd)
         qkv = x @ w + b
-        return attention_core(qkv, lens, Hl, causal, sm_scale, interpret)
+        return attention_core(qkv, lens, Hl, causal, sm_scale, interpret,
+                              xla_backward)
 
     col = P(None, AXIS_MODEL)
     row = P(AXIS_MODEL)

@@ -30,6 +30,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 512 \
 --d-dropout 0.1 \
 --use-flash-attention \
+--attention-core-xla-backward \
 --kl-anneal-steps 2000 \
 --free-bits 0.1 \
 --steps-per-dispatch 4 \

@@ -84,6 +84,47 @@ class TestAttentionCore:
             np.asarray(gf), np.asarray(gr), rtol=1e-4, atol=1e-5
         )
 
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_xla_backward_matches_pallas_backward(self, causal):
+        """xla_backward=True must produce the same gradients as the Pallas
+        backward kernel AND the reference — it is the overflow-robust
+        route for unstable training configs (TransformerConfig.
+        attention_core_xla_backward; BASELINE.md round-5 wide NaN
+        post-mortem), so any drift here silently changes training."""
+        qkv = _qkv_inputs(T=33)
+        lens = jnp.asarray([33, 20], jnp.int32)
+
+        def loss(qkv, xla_bwd):
+            return jnp.sum(
+                attention_core(qkv, lens, 2, causal, None, True,
+                               xla_bwd)[:, :20] ** 2
+            )
+
+        g_pallas = jax.grad(loss)(qkv, False)
+        g_xla = jax.grad(loss)(qkv, True)
+        g_ref = jax.grad(
+            lambda q: jnp.sum(reference_core(q, lens, 2, causal)[:, :20] ** 2)
+        )(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_xla), np.asarray(g_pallas), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_xla), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_xla_backward_survives_extreme_cotangents(self):
+        """At ~1e19-magnitude cotangents (the measured wide-spike regime)
+        the XLA backward must stay finite."""
+        qkv = _qkv_inputs(T=33)
+        lens = jnp.asarray([33, 20], jnp.int32)
+
+        def loss(qkv):
+            out = attention_core(qkv, lens, 2, True, None, True, True)
+            return jnp.sum(out[:, :20] * 1e19)
+
+        g = jax.grad(loss)(qkv)
+        assert np.all(np.isfinite(np.asarray(g)))
+
     def test_head_group_rule(self):
         from musicstyletransfer_tpu.ops.attention_core import _head_group
 
@@ -324,9 +365,11 @@ class TestTensorParallelCore:
 class TestModelPathEquivalence:
     """The encoder/decoder stacks with the core enabled must match the XLA
     attention path — fwd and grads — including the weight-side column
-    permutation in _qkv_interleaved."""
+    permutation in _qkv_interleaved. Parameterized over the core's
+    backward route (Pallas kernel vs the overflow-robust XLA einsums) so
+    attention_core_xla_backward is pinned at the MODEL level too."""
 
-    def _stack(self, core_min):
+    def _stack(self, core_min, xla_backward=False):
         from musicstyletransfer_tpu.models.config import TransformerConfig
         from musicstyletransfer_tpu.models.transformer import (
             TransformerStack,
@@ -340,17 +383,19 @@ class TestModelPathEquivalence:
             use_flash_attention=True,
             flash_min_seq_len=10_000,
             attention_core_min_seq_len=core_min,
+            attention_core_xla_backward=xla_backward,
         )
         return TransformerStack(config=cfg, causal=True)
 
-    def test_model_forward_and_grads_match(self):
+    @pytest.mark.parametrize("xla_backward", [False, True])
+    def test_model_forward_and_grads_match(self, xla_backward):
         B, T, D = 3, 24, 32
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
         mask = jnp.arange(T)[None, :] < jnp.asarray([[24], [13], [7]])
 
         m_xla = self._stack(core_min=0)
-        m_core = self._stack(core_min=1)
+        m_core = self._stack(core_min=1, xla_backward=xla_backward)
         params = m_xla.init(jax.random.PRNGKey(0), x, mask, False)
 
         def loss(m):
