@@ -94,6 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
                      help="force CPU devices (tests/dev)")
     tpu.add_argument("--use-flash-attention", action="store_true",
                      help="Pallas fused attention in the transformer stacks")
+    tpu.add_argument("--norm-scheme", choices=["post", "pre"],
+                     default="post",
+                     help="residual-norm placement: 'post' is the "
+                          "reference's post-LN block; 'pre' is the "
+                          "modern pre-LN block whose backward flows "
+                          "through an identity residual path (stable at "
+                          "the wide config where post-LN's backward "
+                          "measurably runs away; BASELINE.md)")
     tpu.add_argument("--attention-core-xla-backward", action="store_true",
                      help="route the short-T attention core's backward "
                           "through XLA einsums instead of the Pallas "

@@ -41,6 +41,7 @@ def create_model_config(args, dataset) -> ModelConfig:
                 use_flash_attention=args.use_flash_attention,
                 attention_core_xla_backward=getattr(
                     args, "attention_core_xla_backward", False),
+                norm_scheme=getattr(args, "norm_scheme", "post"),
                 remat=args.remat,
                 ring_attention=args.ring_attention,
                 sequence_sharding=args.ring_attention,
@@ -59,6 +60,7 @@ def create_model_config(args, dataset) -> ModelConfig:
                 use_flash_attention=args.use_flash_attention,
                 attention_core_xla_backward=getattr(
                     args, "attention_core_xla_backward", False),
+                norm_scheme=getattr(args, "norm_scheme", "post"),
                 remat=args.remat,
                 ring_attention=args.ring_attention,
                 sequence_sharding=args.ring_attention,

@@ -115,6 +115,16 @@ class TransformerConfig(Config):
     # post-mortem). Costs part of the core's backward fusion win; the
     # wide training script enables it.
     attention_core_xla_backward: bool = False
+    # Residual-norm placement. "post" (default) is the reference's
+    # post-LN block: x = LN(x + sublayer(x)) (transformer.py:129-159).
+    # "pre" is the modern pre-LN block (x = x + sublayer(LN(x)) with one
+    # final stack LN): the backward flows through an identity residual
+    # path instead of a product of LN Jacobians, which is what stops the
+    # wide config's runaway backward explosion — forward healthy while
+    # gradient norms grew 1e4 -> 2e8 -> overflow over ~150 steps under
+    # post-LN, three attempts in a row (BASELINE.md round-5 wide NaN
+    # post-mortem). The wide training preset uses "pre".
+    norm_scheme: str = "post"
     # Sequence parallelism: constrain activations to shard the time axis
     # over the mesh's "model" axis between blocks (GSPMD inserts the
     # all-gathers around attention). No-op off-mesh.

@@ -421,7 +421,16 @@ class TransformerLayer(nn.Module):
         self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
         self.drop = nn.Dropout(c.dropout)
 
+    @property
+    def _pre_ln(self) -> bool:
+        return getattr(self.config, "norm_scheme", "post") == "pre"
+
     def __call__(self, x: jax.Array, key_mask: jax.Array, train: bool) -> jax.Array:
+        if self._pre_ln:
+            att = self.attention(self.ln1(x), key_mask)
+            x = x + self.drop(att, deterministic=not train)
+            ff = self.ff(self.ln2(x), train)
+            return x + self.drop(ff, deterministic=not train)
         att = self.attention(x, key_mask)
         x = self.ln1(x + self.drop(att, deterministic=not train))
         ff = self.ff(x, train)
@@ -431,6 +440,11 @@ class TransformerLayer(nn.Module):
     def step(
         self, x_t: jax.Array, cache: LayerCache, t: jax.Array
     ) -> Tuple[jax.Array, LayerCache]:
+        if self._pre_ln:
+            att, ck, cv = self.attention.step(self.ln1(x_t), cache[0],
+                                              cache[1], t)
+            x_t = x_t + att
+            return x_t + self.ff(self.ln2(x_t), train=False), (ck, cv)
         att, ck, cv = self.attention.step(x_t, cache[0], cache[1], t)
         x_t = self.ln1(x_t + att)
         x_t = self.ln2(x_t + self.ff(x_t, train=False))
@@ -439,6 +453,11 @@ class TransformerLayer(nn.Module):
     def step_ragged(
         self, x_t: jax.Array, cache: LayerCache, t: jax.Array
     ) -> Tuple[jax.Array, LayerCache]:
+        if self._pre_ln:
+            att, ck, cv = self.attention.step_ragged(self.ln1(x_t), cache[0],
+                                                     cache[1], t)
+            x_t = x_t + att
+            return x_t + self.ff(self.ln2(x_t), train=False), (ck, cv)
         att, ck, cv = self.attention.step_ragged(x_t, cache[0], cache[1], t)
         x_t = self.ln1(x_t + att)
         x_t = self.ln2(x_t + self.ff(x_t, train=False))
@@ -473,6 +492,11 @@ class TransformerStack(nn.Module):
         self.pos_table = jnp.asarray(
             positional_encodings(c.model_size, c.max_positions), dtype=self.dtype
         )
+        # Pre-LN stacks end with one final LayerNorm (the per-block LNs
+        # move inside the residual branches; without this the stack's
+        # output scale grows with depth).
+        if getattr(c, "norm_scheme", "post") == "pre":
+            self.final_ln = nn.LayerNorm(dtype=self.dtype, name="final_ln")
 
     def _input(self, x: jax.Array) -> jax.Array:
         T = x.shape[1]
@@ -507,6 +531,8 @@ class TransformerStack(nn.Module):
             else:
                 x = layer(x, key_mask, train)
             x = self._seq_shard(x)
+        if getattr(self.config, "norm_scheme", "post") == "pre":
+            x = self.final_ln(x)
         return x
 
     def step(
@@ -521,6 +547,8 @@ class TransformerStack(nn.Module):
         for layer, layer_cache in zip(self.layers, cache):
             x_t, layer_cache = layer.step(x_t, layer_cache, t)
             new_cache.append(layer_cache)
+        if getattr(self.config, "norm_scheme", "post") == "pre":
+            x_t = self.final_ln(x_t)
         return x_t, tuple(new_cache)
 
     def step_ragged(
@@ -534,6 +562,8 @@ class TransformerStack(nn.Module):
         for layer, layer_cache in zip(self.layers, cache):
             x_t, layer_cache = layer.step_ragged(x_t, layer_cache, t)
             new_cache.append(layer_cache)
+        if getattr(self.config, "norm_scheme", "post") == "pre":
+            x_t = self.final_ln(x_t)
         return x_t, tuple(new_cache)
 
     def init_cache(

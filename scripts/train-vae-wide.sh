@@ -31,6 +31,7 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-dropout 0.1 \
 --use-flash-attention \
 --attention-core-xla-backward \
+--norm-scheme pre \
 --kl-anneal-steps 2000 \
 --free-bits 0.1 \
 --steps-per-dispatch 4 \

@@ -159,6 +159,91 @@ class TestIncrementalDecode:
             )
 
 
+class TestPreLN:
+    """norm_scheme="pre": the stability scheme the wide preset uses
+    (BASELINE.md round-5 wide NaN post-mortem). Must preserve the
+    incremental-decode == batched-forward anchor and carry its final
+    stack LN in both paths."""
+
+    @pytest.fixture(scope="class")
+    def pre_model(self):
+        tc = TransformerConfig(
+            model_size=16, num_layers=2, num_heads=2, dropout=0.0,
+            vocab_size=10, norm_scheme="pre",
+        )
+        cfg = ModelConfig(
+            encoder_config=EncoderConfig(
+                transformer_config=tc, latent_dim=8, num_classes=3,
+                input_dim=10,
+            ),
+            decoder_config=DecoderConfig(
+                transformer_config=tc, latent_dim=8, num_classes=3,
+                output_dim=10,
+            ),
+            dtype="float32",
+        )
+        model = make_model(cfg)
+        params = init_params(model, jax.random.key(0), max_seq_len=6)
+        return cfg, model, params
+
+    def test_final_ln_exists(self, pre_model):
+        _, _, params = pre_model
+        assert "final_ln" in params["decoder"]["decoder"]
+        assert "final_ln" in params["encoder"]["encoder"]
+
+    def test_step_matches_batched_forward(self, pre_model):
+        cfg, model, params = pre_model
+        from musicstyletransfer_tpu.models.vae import VAEDecoder
+
+        B, L = 3, 6
+        rng = np.random.default_rng(2)
+        tokens = np.concatenate(
+            [np.full((B, 1), 1), rng.integers(3, 10, (B, L))], axis=1
+        ).astype(np.int32)
+        seq_lens = jnp.full((B,), L + 1, jnp.int32)
+        classes = jnp.asarray(rng.integers(0, 3, (B,)), jnp.int32)
+        z = jnp.asarray(rng.normal(size=(B, 8)), jnp.float32)
+
+        dec = VAEDecoder(config=cfg.decoder_config, dtype=jnp.float32)
+        dp = {"params": params["decoder"]}
+        batched = dec.apply(dp, jnp.asarray(tokens), seq_lens, z, classes,
+                            False)
+        cache = dec.apply(dp, z, classes, L + 2, method=VAEDecoder.prefill)
+        for t in range(1, L + 2):
+            logits_t, cache = dec.apply(
+                dp, jnp.asarray(tokens[:, t - 1]), cache, jnp.asarray(t),
+                method=VAEDecoder.step_token,
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits_t), np.asarray(batched[:, t - 1]),
+                rtol=2e-4, atol=2e-4, err_msg=f"mismatch at step {t}",
+            )
+
+    def test_train_step_runs_and_is_finite(self, pre_model):
+        cfg, model, params = pre_model
+        from musicstyletransfer_tpu.training.loss import vae_loss
+
+        B, L = 4, 6
+        rng = np.random.default_rng(3)
+        tokens = jnp.asarray(rng.integers(1, 10, (B, L + 1)), jnp.int32)
+        labels = jnp.asarray(rng.integers(0, 10, (B, L + 1)), jnp.int32)
+        seq_lens = jnp.full((B,), L, jnp.int32)
+        classes = jnp.zeros((B,), jnp.int32)
+
+        def loss_fn(p):
+            logits, mu, logvar = model.apply(
+                {"params": p}, tokens, seq_lens, classes, train=True,
+                rngs={"sample": jax.random.key(1),
+                      "dropout": jax.random.key(2)})
+            total, _ = vae_loss(logits, labels, mu, logvar, kl_weight=0.5)
+            return total
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert np.isfinite(float(loss))
+        assert all(np.all(np.isfinite(np.asarray(g)))
+                   for g in jax.tree.leaves(grads))
+
+
 class TestPerStepConditioning:
     """class_conditioning="per_step": the class embedding is added to every
     decoder position's input (VERDICT r04 item 1 — at L=2046 the
