@@ -73,9 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--segment-steps", type=int, default=32,
                    help="--streaming: decode steps per dispatch (the "
                         "admission granularity)")
-    p.add_argument("--admit-size", type=int, default=16,
+    p.add_argument("--admit-size", type=int, default=0,
                    help="--streaming: max (request x class) units encoded "
-                        "into free slots per cycle")
+                        "into free slots per cycle; 0 = full width "
+                        "(= --slots, the measured overload-safe default "
+                        "— BASELINE.md round-5 overload curve)")
     p.add_argument("--max-queue", type=int, default=0,
                    help="--streaming: bound on the host request queue; at "
                         "the bound new requests are SHED with an immediate "

@@ -331,7 +331,7 @@ class StreamingTransferEngine:
         slots: int = 128,
         max_seq_len: int = 64,
         segment_steps: int = 32,
-        admit_size: int = 16,
+        admit_size: Optional[int] = None,
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 0.0,
@@ -355,7 +355,19 @@ class StreamingTransferEngine:
         ``EngineOverloaded`` exception and the request never occupies
         queue or slot resources. The bound is approximate under
         concurrent enqueuers (qsize races the engine thread by design —
-        an exact bound would serialize admission against the hot loop)."""
+        an exact bound would serialize admission against the hot loop).
+
+        ``admit_size``: max units admitted per cycle — a STATIC compiled
+        shape (the packed admission array is [admit_size, L+5]).
+        Default None = ``slots``, i.e. full-width admission: the round-5
+        overload curve (BASELINE.md) measured narrow admission as THE
+        overload bottleneck — at 1.2-1.5x offered load admit=16 left the
+        engine admission-limited (sustained 0.87-1.05x the batch loop,
+        p50 246-415 ms) while admit=slots=128 sustained 1.08-1.74x with
+        p50 86-117 ms, and at <=0.5x load the width is latency-neutral
+        (padding rows splice nothing; the wider upload is ~35 KB,
+        async). Narrower values remain available for hosts where the
+        admission pack's O(admit_size) host work matters."""
         self.model, self.params = load_inference_model(
             model_folder, checkpoint, max_seq_len
         )
@@ -370,7 +382,7 @@ class StreamingTransferEngine:
         self.slots = int(slots)
         self.max_seq_len = int(max_seq_len)
         self.segment_steps = int(segment_steps)
-        self.admit_size = int(admit_size)
+        self.admit_size = int(admit_size) if admit_size else self.slots
         self.temperature = float(temperature)
         self.top_k = int(top_k)
         self.top_p = float(top_p)

@@ -13,8 +13,9 @@ the tunnel:
 Usage:
     python scripts/streaming-bench.py [load_frac] [slots] [segment_steps] \
         [admit_size] [max_queue]
-Defaults: 0.5 128 32 16 0 — the SHIPPED engine configuration whose numbers
-BASELINE.md's streaming study reports. Prints one JSON line per engine
+Defaults: 0.5 128 32 0 0 — the SHIPPED engine configuration whose numbers
+BASELINE.md's streaming study reports (admit 0 = full-width admission,
+admit_size=slots, the round-5 overload-measured default). Prints one JSON line per engine
 plus a summary. ``slots`` and ``admit_size`` may each be comma lists
 (e.g. ``128,256`` / ``16,64``): one streaming engine per (slots, admit)
 pair runs interleaved in the same window — the capacity-scaling and
@@ -86,8 +87,9 @@ def main():
     slots_list = ([int(s) for s in sys.argv[2].split(",")]
                   if len(sys.argv) > 2 else [128])
     segment_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # 0 = the shipped default (full-width admission, admit_size=slots).
     admit_list = ([int(a) for a in sys.argv[4].split(",")]
-                  if len(sys.argv) > 4 else [16])
+                  if len(sys.argv) > 4 else [0])
     max_queue = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     device = _pick_device()
     print(f"# device: {device}, load_fracs={load_fracs}, "
@@ -110,7 +112,7 @@ def main():
         svc = StyleTransferService(folder, checkpoint=-1, batch_size=32,
                                    max_seq_len=64, max_wait_ms=5.0,
                                    buckets=[16, 32, 64])
-        engine_specs = [(s, a) for s in slots_list for a in admit_list]
+        engine_specs = [(s, a or s) for s in slots_list for a in admit_list]
         engines = [
             (f"streaming[slots={s},admit={a}]",
              StreamingTransferEngine(folder, checkpoint=-1, slots=s,

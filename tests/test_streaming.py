@@ -401,6 +401,26 @@ class TestEngineServing:
         assert snap["requests_served"] == n
         assert snap["latency_p50_ms"] > 0
 
+    def test_default_admit_size_is_full_width(self, model_folder):
+        """admit_size defaults to slots (full-width admission): the round-5
+        overload curve measured narrow admission as the overload
+        bottleneck (BASELINE.md), so the shipped default admits into every
+        free slot per cycle. Explicit values still win."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            StreamingTransferEngine,
+        )
+
+        eng = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=6, max_seq_len=8,
+            segment_steps=4,
+        )
+        assert eng.admit_size == 6
+        eng2 = StreamingTransferEngine(
+            model_folder, checkpoint=-1, slots=6, max_seq_len=8,
+            segment_steps=4, admit_size=2,
+        )
+        assert eng2.admit_size == 2
+
     def test_bounded_queue_sheds_with_overloaded_error(self, model_folder):
         """max_queue: past the bound, enqueue sheds — the callback fires
         immediately with EngineOverloaded, the request never queues, and
