@@ -30,7 +30,6 @@ python -m musicstyletransfer_tpu.cli.main \
 --d-rnn-hidden-dim 512 \
 --d-dropout 0.1 \
 --use-flash-attention \
---attention-core-xla-backward \
 --norm-scheme pre \
 --kl-anneal-steps 2000 \
 --free-bits 0.1 \
@@ -50,3 +49,15 @@ python -m musicstyletransfer_tpu.cli.main \
 # clip_global_norm:1.0 bound the tail; the trainer's per-checkpoint
 # generation-health probe (--gen-health-rows, default 8) tracks decode
 # collapse that teacher-forced CE misses.
+#
+# --norm-scheme pre is what actually holds this config together: post-LN
+# at d=1024 depth-4 explodes in the BACKWARD at ~2200 steps regardless
+# of schedule/clipping (BASELINE.md wide NaN post-mortem). With pre-LN
+# bounding grad norms at <=7.0, the Pallas attention-core backward's
+# f32 overflow regime (hit at ~1e19 cotangents during the post-LN
+# blow-ups) is unreachable — a full 17,240-step probe run with the
+# Pallas backward matched the XLA-route run's final quality with ZERO
+# non-finite updates at ~52.6 vs ~42 updates/s (round-5 probe,
+# BASELINE.md), so the faster Pallas backward is the default here.
+# Pass --attention-core-xla-backward to restore the overflow-robust
+# route if you revert to post-LN or see skipped updates in the logs.
