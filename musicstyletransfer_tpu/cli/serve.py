@@ -86,9 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "unbounded)")
     p.add_argument("--harvest-delay-ms", type=float, default=None,
                    help="--streaming: time given to each cycle readout's "
-                        "async device->host copy before harvesting it "
-                        "(default: auto-calibrated from one measured "
-                        "fetch round trip at startup)")
+                        "async device->host copy before harvesting it. "
+                        "Default auto: calibrated from measured fetch "
+                        "round trips at startup, then ADAPTED to window "
+                        "drift per harvest (AIMD on the measured fetch "
+                        "block); an explicit value pins it")
     return p
 
 

@@ -98,6 +98,82 @@ class EngineOverloaded(RuntimeError):
     timeout."""
 
 
+class HarvestDelayController:
+    """Window-drift controller for the readout-harvest allowance.
+
+    The startup calibration (``_ensure_state``) measures ONE window, but
+    the tunnel's fetch round trip drifts between windows (recorded ~28 ms
+    healthy, 60-70 ms mid-grade, ~1.3 s degraded — BASELINE.md dispatch
+    study caveat). A FIXED allowance mis-tunes in both directions after a
+    window shift: too short and every harvest's ``np.asarray`` BLOCKS the
+    dispatch loop (the engine degrades to synchronous per-cycle
+    fetching); too long and every request pays the stale window's latency
+    forever — a same-window A/B (scripts/harvest-ab.py) measured an
+    engine calibrated at 69.5 ms holding p50 ~100 ms against the batch
+    loop's 59 ms purely on the stale allowance. The only honest signal
+    through the tunnel is the time the harvest fetch actually blocked
+    (``block_until_ready`` does not wait through it). Three regimes per
+    observation, because under load that signal is NOISY — concurrent
+    async readout copies contend on the tunnel and produce persistent
+    5-20 ms blocks even for landed copies (a plain AIMD attack on any
+    block ratcheted the delay 69 -> 127 ms in the A/B and was rejected):
+
+    - block > max(50 ms, 50% of delay) for ``ATTACK`` CONSECUTIVE
+      harvests: the window genuinely degraded — RE-CALIBRATE to the last
+      observed trip (elapsed + block, the startup formula). Both guards
+      exist because the block signal is noisy UP TO TENS OF MS on
+      healthy windows (GIL/host stalls on already-landed copies): a
+      v2 controller attacking at max(10 ms, 0.3x) spiraled 59 -> 112 ms
+      in a healthy-window A/B — each spurious attack raises the delay,
+      which raises every later readout's ``elapsed``, which raises the
+      next recalibration target. Genuine degradations (28 ms -> 0.8-1.3 s
+      recorded) block hundreds of ms on EVERY harvest and pass both
+      guards immediately;
+    - block < max(2 ms, 5% of delay) — the copy landed well within the
+      allowance — for ``STREAK`` consecutive harvests: the window may
+      have recovered, probe DOWN x0.85. The threshold scales with the
+      delay because a 20 ms contention block IS prompt against an 807 ms
+      stale allowance (the A/B's recorded worst case: startup
+      calibration caught a degraded moment and fixed-delay arms served
+      p50 3.3-3.7 s in a healthy window, 50x the batch loop, forever);
+    - anything between: contention noise — hold.
+
+    Explicit ``harvest_delay_s`` (CLI ``--harvest-delay-ms``) pins the
+    delay and disables adaptation.
+    """
+
+    CAP = 2.0  # s; past this the window is beyond serving viability
+    STREAK = 10
+    ATTACK = 2
+
+    def __init__(self, initial: float):
+        self.delay = float(initial)
+        self._streak = 0
+        self._attack = 0
+
+    def observe(self, block_s: float, elapsed_s: float) -> float:
+        """Update from one harvest: ``block_s`` is the measured fetch
+        block, ``elapsed_s`` the readout's age since dispatch (their sum
+        bounds the copy's true round trip). Returns the new delay."""
+        if block_s > max(0.050, 0.5 * self.delay):
+            self._streak = 0
+            self._attack += 1
+            if self._attack >= self.ATTACK:
+                self.delay = min(self.CAP,
+                                 1.1 * (elapsed_s + block_s) + 0.003)
+                self._attack = 0
+            return self.delay
+        self._attack = 0
+        if block_s < max(0.002, 0.05 * self.delay):
+            self._streak += 1
+            if self._streak >= self.STREAK:
+                self.delay *= 0.85
+                self._streak = 0
+        else:
+            self._streak = 0
+        return self.delay
+
+
 class SlotState(NamedTuple):
     """Device-resident engine state (donated through every dispatch)."""
 
@@ -451,6 +527,9 @@ class StreamingTransferEngine:
         self._harvest_delay: Optional[float] = (
             None if harvest_delay_s is None else float(harvest_delay_s)
         )
+        # Auto mode adapts the allowance to window drift (attached after
+        # calibration); an explicit harvest_delay_s pins it.
+        self._delay_ctl: Optional[HarvestDelayController] = None
         # One-time device constants, uploaded lazily by _ensure_state (in
         # the engine thread's device context): the no-admit placeholder
         # admission array and the temperature scalar. Caching them makes a
@@ -566,6 +645,7 @@ class StreamingTransferEngine:
                 self._harvest_delay = (
                     0.0 if rt < 1e-3 else min(0.25, 1.1 * rt + 0.003)
                 )
+                self._delay_ctl = HarvestDelayController(self._harvest_delay)
         if self._empty_admission_dev is None:
             self._empty_admission_dev = self._put(self._pack_admission([]))
             self._temp_dev = self._put(
@@ -691,18 +771,25 @@ class StreamingTransferEngine:
                 break
         if ready < 0:
             return False
-        cycle_idx, readout, _ = self._pending[ready]
+        cycle_idx, readout, t_dispatch = self._pending[ready]
         del self._pending[: ready + 1]
-        self._harvest(cycle_idx, readout)
+        self._harvest(cycle_idx, readout, t_dispatch)
         return True
 
-    def _harvest(self, cycle_idx: int, readout_dev) -> None:
+    def _harvest(self, cycle_idx: int, readout_dev,
+                 t_dispatch: Optional[float] = None) -> None:
         """Fetch one cycle's packed readout (ONE tunnel round trip: done
         mask in column 0, token rows after); release finished slots; fire
         callbacks for finished requests. Skips slots admitted AFTER
         ``cycle_idx`` — their done flag in this readout belongs to the
         slot's previous occupant."""
+        t_fetch = time.perf_counter()
         readout = np.asarray(readout_dev)
+        if self._delay_ctl is not None and t_dispatch is not None:
+            now = time.perf_counter()
+            self._harvest_delay = self._delay_ctl.observe(
+                now - t_fetch, t_fetch - t_dispatch
+            )
         done = readout[:, 0].astype(bool)
         finished = [
             s for s, u in list(self._unit_by_slot.items())

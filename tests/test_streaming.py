@@ -574,3 +574,67 @@ class TestEngineServing:
         )
         eng2._ensure_state()
         assert eng2._harvest_delay == 0.042
+        # Explicit delay PINS: no adaptation controller attached.
+        assert eng2._delay_ctl is None
+        # Auto mode attaches one seeded with the calibrated value, and a
+        # real served request must leave the delay adapted but sane
+        # (on CPU every fetch lands instantly -> decay-only, stays ~0).
+        assert eng._delay_ctl is not None
+        eng.submit_midi(_midi_bytes((60, 64)))
+        assert 0.0 <= eng._harvest_delay <= eng._delay_ctl.CAP
+
+    def test_harvest_delay_controller_regimes(self):
+        """The window-drift controller's three regimes: a genuinely
+        unlanded copy (large block) RE-CALIBRATES to the observed trip in
+        one observation; contention-band blocks (the noisy 5-20 ms fetch
+        costs measured under load, scripts/harvest-ab.py) HOLD — a plain
+        AIMD attack here ratcheted 69 -> 127 ms in the same-window A/B
+        and was rejected; a streak of prompt fetches probes DOWN; the cap
+        bounds pathological windows."""
+        from musicstyletransfer_tpu.inference.streaming import (
+            HarvestDelayController,
+        )
+
+        c = HarvestDelayController(0.028)
+        # Tunnel degrades: copies land 1.3 s after dispatch, harvests at
+        # elapsed=30ms block the remaining 1.27 s. ONE such block is
+        # indistinguishable from a lone host stall -> hold; the SECOND
+        # consecutive recalibrates to the startup formula on the
+        # observed trip.
+        assert c.observe(1.27, 0.030) == pytest.approx(0.028)
+        d = c.observe(1.27, 0.030)
+        assert d == pytest.approx(1.1 * 1.3 + 0.003)
+        # A lone large stall on a healthy window does NOT attack (the
+        # v3 guard against the healthy-window upward spiral): one 60 ms
+        # block at a 59 ms delay, then prompt fetches -> delay held.
+        c_h = HarvestDelayController(0.059)
+        c_h.observe(0.060, 0.065)
+        c_h.observe(0.0001, 0.060)
+        assert c_h.delay == pytest.approx(0.059)
+        # Contention band (e.g. 15 ms blocks at a 69 ms delay): HOLD.
+        c2 = HarvestDelayController(0.0695)
+        for _ in range(100):
+            c2.observe(0.015, 0.070)
+        assert c2.delay == pytest.approx(0.0695)
+        # Recovered window: prompt-fetch streaks probe down x0.9 per
+        # STREAK harvests; from the degraded 1.43 s the delay walks back
+        # under 30 ms within ~40 probes.
+        for _ in range(c.STREAK * 40):
+            d = c.observe(0.0001, c.delay)
+        assert d < 0.030
+        # A lone prompt fetch (streak broken by contention) holds.
+        c3 = HarvestDelayController(0.0695)
+        for i in range(100):
+            c3.observe(0.0001 if i % 2 else 0.005, 0.070)
+        assert c3.delay == pytest.approx(0.0695)
+        # The promptness threshold scales with the delay: 20 ms
+        # contention blocks ARE prompt against an 807 ms stale
+        # allowance (the recorded worst case), so recovery proceeds.
+        c4 = HarvestDelayController(0.807)
+        for _ in range(c4.STREAK):
+            c4.observe(0.020, 0.81)
+        assert c4.delay == pytest.approx(0.807 * 0.85)
+        # Cap: even absurd blocks cannot push past serving viability.
+        c.observe(60.0, 0.030)
+        c.observe(60.0, 0.030)
+        assert c.delay == c.CAP
